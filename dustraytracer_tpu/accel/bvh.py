@@ -1,0 +1,196 @@
+"""Binned-SAH BVH builder -> flat SoA node arrays.
+
+Same algorithm family as the reference host builder
+(`/root/reference/DustRayTracer/src/Core/BVH/BVHBuilder.cu:11-92,257-346`):
+top-down binned SAH (bins per axis over the centroid extent), SAH cost
+`trav + sum(SA_child/SA_parent * n_child) * isect`, triangle reordering so
+every leaf indexes a contiguous range. Differences, on purpose:
+
+- The reference does an O(bins * axes * N) full-range rescan per candidate
+  split (`binToShallowNodes`, `BVHBuilder.cu:216-255`); we bin each
+  primitive once per node with vectorized numpy (bincount + min/max.at),
+  which is O(N) per node level.
+- Leaf size is *enforced* <= `leaf_target` (<= scene.MAX_LEAF) because the
+  TPU traversal intersects a fixed MAX_LEAF-wide vector of triangles per
+  leaf visit; the reference allowed SAH to stop early at any size.
+- Root is node 0 (the reference pushes the root last so root == size-1,
+  `BVHBuilder.cu:11-92` — a quirk, not a feature).
+
+A native C++ implementation with the same flat output lives in
+`accel/native/` (used when built; this numpy path is the always-available
+fallback and the correctness oracle for it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+TRAVERSAL_COST = 1.0  # reference: BVHNode.cuh:26-27
+INTERSECT_COST = 2.0
+
+
+@dataclass
+class BvhArrays:
+    """Flat SoA BVH. Leaf iff node_count > 0; internal nodes use
+    left/right child indices. Arrays padded to a multiple of 8."""
+
+    node_min: np.ndarray   # (M, 3) f32
+    node_max: np.ndarray   # (M, 3) f32
+    node_left: np.ndarray  # (M,) i32
+    node_right: np.ndarray  # (M,) i32
+    node_first: np.ndarray  # (M,) i32
+    node_count: np.ndarray  # (M,) i32
+    perm: np.ndarray       # (N,) i64 — reorder of input triangles
+    n_nodes: int
+    depth: int
+
+
+def _surface_area(bmin: np.ndarray, bmax: np.ndarray) -> np.ndarray:
+    d = np.maximum(bmax - bmin, 0.0)
+    return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
+                  + d[..., 2] * d[..., 0])
+
+
+def build_bvh(tri_pos: np.ndarray, leaf_target: int = 8, bins: int = 16,
+              use_native: bool = True) -> BvhArrays:
+    """Build a binned-SAH BVH over (N, 3, 3) triangle corner positions."""
+    if use_native:
+        try:
+            from dustraytracer_tpu.accel.native import build as native_build
+            out = native_build.build_bvh_native(tri_pos, leaf_target, bins)
+            if out is not None:
+                return out
+        except Exception:
+            pass  # fall back to numpy
+    return _build_bvh_numpy(tri_pos, leaf_target, bins)
+
+
+def _build_bvh_numpy(tri_pos: np.ndarray, leaf_target: int,
+                     bins: int) -> BvhArrays:
+    n = tri_pos.shape[0]
+    tri_min = tri_pos.min(axis=1).astype(np.float64)
+    tri_max = tri_pos.max(axis=1).astype(np.float64)
+    centroid = 0.5 * (tri_min + tri_max)
+
+    order = np.arange(n, dtype=np.int64)
+
+    node_min, node_max = [], []
+    node_left, node_right = [], []
+    node_first, node_count = [], []
+
+    def alloc() -> int:
+        node_min.append(np.zeros(3))
+        node_max.append(np.zeros(3))
+        node_left.append(-1)
+        node_right.append(-1)
+        node_first.append(-1)
+        node_count.append(0)
+        return len(node_min) - 1
+
+    root = alloc()
+    # Explicit work stack, same shape as the reference's buildIterative
+    # (`BVHBuilder.cu:11-92`) but allocation-free partitioning.
+    stack = [(root, 0, n, 1)]
+    max_depth = 1
+
+    while stack:
+        node, start, end, depth = stack.pop()
+        max_depth = max(max_depth, depth)
+        idx = order[start:end]
+        bmin = tri_min[idx].min(axis=0)
+        bmax = tri_max[idx].max(axis=0)
+        node_min[node] = bmin
+        node_max[node] = bmax
+        count = end - start
+
+        if count <= leaf_target:
+            node_first[node] = start
+            node_count[node] = count
+            continue
+
+        cen = centroid[idx]
+        cmin = cen.min(axis=0)
+        cmax = cen.max(axis=0)
+        extent = cmax - cmin
+
+        best_axis, best_bin, best_cost = -1, -1, np.inf
+        parent_sa = max(_surface_area(bmin, bmax), 1e-30)
+        leaf_cost = INTERSECT_COST * count
+
+        for axis in range(3):
+            if extent[axis] < 1e-12:
+                continue
+            scale = bins / extent[axis]
+            b = np.minimum(((cen[:, axis] - cmin[axis]) * scale).astype(np.int64),
+                           bins - 1)
+            counts = np.bincount(b, minlength=bins)
+            bin_lo = np.full((bins, 3), np.inf)
+            bin_hi = np.full((bins, 3), -np.inf)
+            np.minimum.at(bin_lo, b, tri_min[idx])
+            np.maximum.at(bin_hi, b, tri_max[idx])
+
+            # prefix/suffix sweep
+            left_n = np.cumsum(counts)[:-1]
+            right_n = count - left_n
+            left_lo = np.minimum.accumulate(bin_lo, axis=0)[:-1]
+            left_hi = np.maximum.accumulate(bin_hi, axis=0)[:-1]
+            right_lo = np.minimum.accumulate(bin_lo[::-1], axis=0)[::-1][1:]
+            right_hi = np.maximum.accumulate(bin_hi[::-1], axis=0)[::-1][1:]
+
+            sa_l = np.where(left_n > 0, _surface_area(left_lo, left_hi), 0.0)
+            sa_r = np.where(right_n > 0, _surface_area(right_lo, right_hi), 0.0)
+            cost = TRAVERSAL_COST + (sa_l * left_n + sa_r * right_n) \
+                / parent_sa * INTERSECT_COST
+            cost = np.where((left_n == 0) | (right_n == 0), np.inf, cost)
+            j = int(np.argmin(cost))
+            if cost[j] < best_cost:
+                best_axis, best_bin, best_cost = axis, j, float(cost[j])
+
+        if best_axis >= 0 and (best_cost < leaf_cost or count > leaf_target):
+            scale = bins / extent[best_axis]
+            b = np.minimum(((cen[:, best_axis] - cmin[best_axis]) * scale)
+                           .astype(np.int64), bins - 1)
+            go_left = b <= best_bin
+        else:
+            # Degenerate (all centroids identical): median split so the
+            # leaf-size bound still holds.
+            go_left = np.zeros(count, dtype=bool)
+            go_left[: count // 2] = True
+
+        n_left = int(go_left.sum())
+        if n_left == 0 or n_left == count:
+            go_left = np.zeros(count, dtype=bool)
+            go_left[: count // 2] = True
+            n_left = count // 2
+
+        # Stable partition — contiguous leaf ranges (BVHBuilder.cu:175-214).
+        order[start:end] = np.concatenate([idx[go_left], idx[~go_left]])
+
+        lchild = alloc()
+        rchild = alloc()
+        node_left[node] = lchild
+        node_right[node] = rchild
+        mid = start + n_left
+        stack.append((rchild, mid, end, depth + 1))
+        stack.append((lchild, start, mid, depth + 1))
+
+    m = len(node_min)
+    pad = ((m + 7) // 8) * 8
+
+    def _p(lst, dtype, fill):
+        a = np.asarray(lst, dtype)
+        return np.concatenate([a, np.full((pad - m,) + a.shape[1:], fill, dtype)])
+
+    return BvhArrays(
+        node_min=_p(node_min, np.float32, np.inf),
+        node_max=_p(node_max, np.float32, -np.inf),
+        node_left=_p(node_left, np.int32, -1),
+        node_right=_p(node_right, np.int32, -1),
+        node_first=_p(node_first, np.int32, 0),
+        node_count=_p(node_count, np.int32, 0),
+        perm=order,
+        n_nodes=m,
+        depth=max_depth,
+    )

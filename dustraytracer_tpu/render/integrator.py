@@ -1,0 +1,231 @@
+"""The path integrator: a pure function over ray batches.
+
+TPU-native re-design of the reference's per-thread megakernel `RayGen`
+(`/root/reference/DustRayTracer/src/Core/Kernel/Shaders/RayGen.cuh:63-172`).
+Instead of one divergent loop per pixel, the whole frame is a wavefront:
+(N = H*W) rays advance together through a statically-unrolled bounce loop
+with a live mask; every stage is a fused batch of VPU ops.
+
+Semantics preserved from the reference (defaults) — each is a flag when
+we deviate:
+- gradient sky squared, scaled by sky_intensity (`RayGen.cuh:54-61`),
+- throughput *= albedo / texture sample per bounce (`:110-118`),
+- sun NEE: jittered un-normalized shadow direction toward a 2-angle sun
+  position, *no* cosine term, contribution suncol * throughput (`:120-128`),
+- diffuse bounce dir = surface normal + uniform-in-ball sample (`:133-134`),
+- geometric (face) normals flipped toward the viewer (`ClosestHit.cuh:17-25`),
+- debug view heads (`:136-161`),
+- Uncharted2 + gamma applied per sample *before* accumulation
+  (`RenderKernel.cu:29-31` averages post-processed colors; quirk kept for
+  parity — the progressive average matches the reference's).
+
+Differentiability: traversal returns discrete hit ids (stop-gradient);
+every continuous quantity (hit point, barycentrics, normals, radiance) is
+recomputed from those ids with differentiable math, so `jax.grad` flows
+to materials, lights, camera, and vertex positions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from dustraytracer_tpu.ops.intersect import moller_trumbore
+from dustraytracer_tpu.ops.rng import (random_float, random_in_ball,
+                                       random_unit_vec3, seed_pixels)
+from dustraytracer_tpu.ops.tonemap import gamma_correct, uncharted2_filmic
+from dustraytracer_tpu.ops.traverse import traverse_anyhit, traverse_closest
+from dustraytracer_tpu.render.texture import sample_texture
+from dustraytracer_tpu.scene.camera import Camera, generate_rays
+from dustraytracer_tpu.scene.settings import (DebugMode, LightParams,
+                                              RenderMode, RenderSettings)
+
+
+def shade_hits(scene, origin, direction, hit_idx):
+    """Differentiable hit attributes from discrete hit ids.
+
+    Recomputes the Möller–Trumbore solution for the *selected* triangle so
+    t/u/v (and everything downstream) differentiate w.r.t. vertices and
+    rays, while the selection itself stays discrete. Returns a dict with
+    world_position, normal (geometric, viewer-facing — `ClosestHit.cuh:
+    17-25`), shading uv, barycentrics, material id, front_face.
+    """
+    safe = jnp.maximum(hit_idx, 0)
+    v0 = scene.tri_pos[safe, 0]
+    v1 = scene.tri_pos[safe, 1]
+    v2 = scene.tri_pos[safe, 2]
+    _valid, t, u, v = moller_trumbore(origin, direction, v0, v1, v2)
+    w = 1.0 - u - v
+
+    world_pos = origin + direction * t[:, None]
+    face_n = scene.tri_face_nrm[safe]
+    d_norm = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    front = jnp.sum(face_n * d_norm, axis=-1) <= 0.0
+    normal = jnp.where(front[:, None], face_n, -face_n)
+
+    uv = (w[:, None] * scene.tri_uv[safe, 0]
+          + u[:, None] * scene.tri_uv[safe, 1]
+          + v[:, None] * scene.tri_uv[safe, 2])
+    return {
+        "t": t, "bary": jnp.stack([w, u, v], axis=-1),
+        "world_position": world_pos, "normal": normal, "uv": uv,
+        "material": scene.tri_mat[safe], "front_face": front,
+    }
+
+
+def _sky(direction, lights: LightParams):
+    """Gradient sky (`RayGen.cuh:54-61`): lerp(white, sky_color) by
+    0.5*(1+dir.y), squared."""
+    d = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    g = 0.5 * (1.0 + d[:, 1])
+    col = (1.0 - g)[:, None] * jnp.ones(3) + g[:, None] * lights.sky_color
+    return col * col
+
+
+def _albedo(scene, mats, uv, hits_tex_bilinear=False):
+    tex = scene.mat_albedo_tex[mats]
+    flat = scene.mat_albedo[mats]
+    sampled = sample_texture(scene, tex, uv, bilinear=hits_tex_bilinear)
+    return jnp.where((tex >= 0)[:, None], sampled, flat)
+
+
+def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
+                  pixel_ids, *, width: int, height: int,
+                  settings: RenderSettings):
+    """Render one sample for a flat batch of pixel ids -> (N, 3) color.
+
+    This is the shardable unit: a device mesh splits `pixel_ids` into
+    tiles and each device runs this same function on its shard (see
+    parallel/). `render_sample` below is the full-frame convenience.
+    """
+    n = pixel_ids.shape[0]
+    rng = seed_pixels(pixel_ids.astype(jnp.uint32), frame_idx)
+    rng, origin, direction = generate_rays(camera, width, height, rng,
+                                           pixel_ids=pixel_ids)
+
+    stack_depth = scene.bvh_depth + 2
+    sun_pos = lights.sun_position()
+    sun_col = lights.sun_color * lights.sun_intensity
+
+    light = jnp.zeros((n, 3))
+    throughput = jnp.ones((n, 3))
+    alive = jnp.ones((n,), bool)
+
+    debug = settings.render_mode == RenderMode.DEBUG
+    bounces = 1 if debug else settings.bounces
+    debug_out = None
+
+    for bounce in range(bounces):
+        res = traverse_closest(scene, origin, direction,
+                               stack_depth=stack_depth,
+                               alpha_test=settings.alpha_test)
+        hit_idx = res["hit_idx"]
+        miss = hit_idx < 0
+
+        # --- sky on miss (RayGen.cuh:99-108) ---
+        sky = _sky(direction, lights)
+        add_sky = alive & miss
+        light = light + jnp.where(add_sky[:, None],
+                                  throughput * sky * lights.sky_intensity, 0.0)
+
+        sh = shade_hits(scene, origin, direction, hit_idx)
+        live_hit = alive & ~miss
+
+        # --- surface throughput (RayGen.cuh:110-118) ---
+        alb = _albedo(scene, sh["material"], sh["uv"])
+        throughput = jnp.where(live_hit[:, None], throughput * alb, throughput)
+
+        new_origin = sh["world_position"] + sh["normal"] * 1e-3
+
+        # --- sun NEE shadow ray (RayGen.cuh:120-128) ---
+        if settings.enable_sunlight and not debug:
+            rng, jit_vec = random_unit_vec3(rng)
+            shadow_dir = sun_pos[None, :] + jit_vec * 1.5
+            occluded = traverse_anyhit(scene, new_origin, shadow_dir,
+                                       stack_depth=stack_depth,
+                                       alpha_test=settings.alpha_test)
+            contrib = sun_col[None, :] * throughput
+            if settings.nee_cosine:  # opt-in physical N·L (off = reference)
+                d_n = shadow_dir / jnp.linalg.norm(shadow_dir, axis=-1,
+                                                   keepdims=True)
+                contrib = contrib * jnp.maximum(
+                    jnp.sum(sh["normal"] * d_n, axis=-1), 0.0)[:, None]
+            light = light + jnp.where((live_hit & ~occluded)[:, None],
+                                      contrib, 0.0)
+
+        # --- debug heads (RayGen.cuh:136-161) ---
+        if debug:
+            dm = settings.debug_mode
+            if dm == DebugMode.ALBEDO:
+                debug_out = jnp.where(live_hit[:, None], throughput, light)
+            elif dm == DebugMode.NORMAL:
+                debug_out = jnp.where(live_hit[:, None], sh["normal"], 0.0)
+            elif dm == DebugMode.BARYCENTRIC:
+                debug_out = jnp.where(live_hit[:, None], sh["bary"], 0.0)
+            elif dm == DebugMode.UVS:
+                uvs = jnp.concatenate(
+                    [sh["uv"], jnp.zeros((n, 1))], axis=-1)
+                debug_out = jnp.where(live_hit[:, None], uvs, 0.0)
+            elif dm in (DebugMode.BVH, DebugMode.WORLD_BVH):
+                # heat = visits * 0.05 (BVHTraversal.cuh:43), hit base color
+                # (0, 0.1, 0.1) (RayGen.cuh:156-158)
+                heat = res["visits"].astype(jnp.float32) * 0.05
+                base = jnp.where(live_hit[:, None],
+                                 jnp.asarray([0.0, 0.1, 0.1]), 0.0)
+                debug_out = base + heat[:, None]
+            break
+
+        # --- russian roulette (new capability; north-star item) ---
+        if settings.russian_roulette and bounce >= settings.rr_start_bounce:
+            rng, u_rr = random_float(rng)
+            p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+            survive = u_rr < p
+            throughput = jnp.where(survive[:, None], throughput / p[:, None],
+                                   throughput)
+            alive = live_hit & survive
+        else:
+            alive = live_hit
+
+        # --- diffuse bounce (RayGen.cuh:133-134) ---
+        rng, ball = random_in_ball(rng)
+        bounce_dir = sh["normal"] + ball
+        if settings.cosine_weighted:
+            rng, sph = random_unit_vec3(rng)
+            bounce_dir = sh["normal"] + sph
+            bounce_dir = bounce_dir / jnp.maximum(
+                jnp.linalg.norm(bounce_dir, axis=-1, keepdims=True), 1e-8)
+        origin = new_origin
+        direction = bounce_dir
+
+    if debug:
+        color = debug_out
+        post = settings.debug_mode == DebugMode.ALBEDO
+    else:
+        color = light
+        post = True
+
+    # post (RayGen.cuh:164-169): tonemap + gamma in NORMAL mode and the
+    # albedo debug view only
+    if post and settings.enable_tonemap:
+        color = uncharted2_filmic(color, camera.exposure)
+    if post and settings.enable_gamma:
+        color = gamma_correct(color)
+
+    return color
+
+
+@partial(jax.jit, static_argnames=("width", "height", "settings"))
+def render_sample(scene, camera: Camera, lights: LightParams, frame_idx,
+                  *, width: int, height: int, settings: RenderSettings):
+    """Render one sample per pixel; returns (H, W, 3) post-processed color.
+
+    The reference's per-frame kernel launch (`RenderKernel.cu:20-35`)
+    minus accumulation — see render/film.py for the progressive average.
+    `frame_idx` decorrelates the RNG across progressive samples.
+    """
+    pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
+    color = render_pixels(scene, camera, lights, frame_idx, pixel_ids,
+                          width=width, height=height, settings=settings)
+    return color.reshape(height, width, 3)

@@ -1,0 +1,54 @@
+"""Texture sampling: point or bilinear, wrapped UVs, gamma-2 decode.
+
+Behavioral parity with `Texture::getPixel`
+(`/root/reference/DustRayTracer/src/Core/Scene/Texture.cu:33-58`): repeat
+wrapping via u - floor(u), nearest texel, RGB in [0,1] squared as the
+approximate sRGB->linear decode. The texture *stack* (T, H, W, 4) u8 with
+per-texture true dims replaces the reference's per-texture managed
+buffers so one gather shape serves every material under jit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _wrap(x):
+    return x - jnp.floor(x)
+
+
+def sample_texture(scene, tex_idx, uv, bilinear: bool = False):
+    """Sample albedo RGB (linearized). tex_idx: (...,) i32 (>= 0); uv (..., 2).
+
+    Out-of-stack rows from padded textures never get sampled because
+    `tex_idx` is clamped by callers to valid entries.
+    """
+    safe = jnp.maximum(tex_idx, 0)
+    hw = scene.tex_hw[safe]
+    h = hw[..., 0].astype(jnp.float32)
+    w = hw[..., 1].astype(jnp.float32)
+    fu = _wrap(uv[..., 0]) * w
+    fv = _wrap(uv[..., 1]) * h
+
+    def fetch(xi, yi):
+        xi = jnp.clip(xi, 0, hw[..., 1] - 1)
+        yi = jnp.clip(yi, 0, hw[..., 0] - 1)
+        rgb = scene.tex_stack[safe, yi, xi, :3].astype(jnp.float32) / 255.0
+        return rgb * rgb  # gamma-2 decode (Texture.cu:56)
+
+    if not bilinear:
+        return fetch(fu.astype(jnp.int32), fv.astype(jnp.int32))
+
+    x0 = jnp.floor(fu - 0.5)
+    y0 = jnp.floor(fv - 0.5)
+    tx = (fu - 0.5 - x0)[..., None]
+    ty = (fv - 0.5 - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    c00 = fetch(x0i, y0i)
+    c10 = fetch(x0i + 1, y0i)
+    c01 = fetch(x0i, y0i + 1)
+    c11 = fetch(x0i + 1, y0i + 1)
+    top = c00 * (1 - tx) + c10 * tx
+    bot = c01 * (1 - tx) + c11 * tx
+    return top * (1 - ty) + bot * ty
