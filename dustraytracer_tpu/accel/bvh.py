@@ -34,7 +34,16 @@ INTERSECT_COST = 2.0
 @dataclass
 class BvhArrays:
     """Flat SoA BVH. Leaf iff node_count > 0; internal nodes use
-    left/right child indices. Arrays padded to a multiple of 8."""
+    left/right child indices. Arrays padded to a multiple of 8.
+
+    After `thread_bvh` post-processing (applied by `build_bvh`), nodes are
+    in DFS pre-order with a `node_skip` escape link: the next pre-order
+    node after node i's subtree (-1 = traversal done). A ray then walks
+    the tree with a single node pointer — enter the AABB -> next node is
+    i+1 (first child), miss/leaf -> node_skip[i] — which is the stackless
+    layout the TPU traversal (`ops/traverse.py`) and its Pallas kernel
+    need: one gather per step, no per-lane stack, no scatters.
+    """
 
     node_min: np.ndarray   # (M, 3) f32
     node_max: np.ndarray   # (M, 3) f32
@@ -42,6 +51,7 @@ class BvhArrays:
     node_right: np.ndarray  # (M,) i32
     node_first: np.ndarray  # (M,) i32
     node_count: np.ndarray  # (M,) i32
+    node_skip: np.ndarray  # (M,) i32  pre-order escape link (-1 = end)
     perm: np.ndarray       # (N,) i64 — reorder of input triangles
     n_nodes: int
     depth: int
@@ -55,16 +65,83 @@ def _surface_area(bmin: np.ndarray, bmax: np.ndarray) -> np.ndarray:
 
 def build_bvh(tri_pos: np.ndarray, leaf_target: int = 8, bins: int = 16,
               use_native: bool = True) -> BvhArrays:
-    """Build a binned-SAH BVH over (N, 3, 3) triangle corner positions."""
+    """Build a binned-SAH BVH over (N, 3, 3) triangle corner positions,
+    threaded into DFS pre-order with skip links (see BvhArrays)."""
+    out = None
     if use_native:
         try:
             from dustraytracer_tpu.accel.native import build as native_build
             out = native_build.build_bvh_native(tri_pos, leaf_target, bins)
-            if out is not None:
-                return out
         except Exception:
-            pass  # fall back to numpy
-    return _build_bvh_numpy(tri_pos, leaf_target, bins)
+            out = None  # fall back to numpy
+    if out is None:
+        out = _build_bvh_numpy(tri_pos, leaf_target, bins)
+    return thread_bvh(out)
+
+
+def thread_bvh(bvh: BvhArrays) -> BvhArrays:
+    """Reorder nodes to DFS pre-order and attach skip (escape) links.
+
+    In pre-order, a node's subtree occupies the contiguous id range
+    [i, i + size_i), so its first child is i + 1 and its escape link is
+    i + size_i (-1 past the last node). The traversal then needs no
+    stack — the reason this layout exists (TPU has no cheap per-lane
+    stacks; see ops/traverse.py).
+    """
+    m = bvh.n_nodes
+    left = bvh.node_left[:m]
+    right = bvh.node_right[:m]
+    is_leaf = bvh.node_count[:m] > 0
+
+    # subtree sizes: builders allocate parents before children, so a
+    # reverse sweep sees children first
+    size = np.ones(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        if not is_leaf[i]:
+            size[i] += size[left[i]] + size[right[i]]
+
+    # iterative pre-order DFS from root 0
+    new_of_old = np.empty(m, np.int64)
+    old_of_new = np.empty(m, np.int64)
+    stack = [0]
+    nxt = 0
+    while stack:
+        o = stack.pop()
+        new_of_old[o] = nxt
+        old_of_new[nxt] = o
+        nxt += 1
+        if not is_leaf[o]:
+            stack.append(right[o])
+            stack.append(left[o])
+
+    skip = new_of_old[old_of_new] * 0  # placeholder alloc
+    ids = np.arange(m, dtype=np.int64)
+    skip = ids + size[old_of_new]
+    skip[skip >= m] = -1
+
+    def remap_child(arr):
+        out = np.where(arr[:m] >= 0, new_of_old[np.maximum(arr[:m], 0)], -1)
+        return out.astype(np.int32)
+
+    pad = ((m + 7) // 8) * 8
+
+    def _p(a, dtype, fill):
+        a = np.asarray(a, dtype)
+        return np.concatenate(
+            [a, np.full((pad - m,) + a.shape[1:], fill, dtype)])
+
+    return BvhArrays(
+        node_min=_p(bvh.node_min[:m][old_of_new], np.float32, np.inf),
+        node_max=_p(bvh.node_max[:m][old_of_new], np.float32, -np.inf),
+        node_left=_p(remap_child(bvh.node_left)[old_of_new], np.int32, -1),
+        node_right=_p(remap_child(bvh.node_right)[old_of_new], np.int32, -1),
+        node_first=_p(bvh.node_first[:m][old_of_new], np.int32, 0),
+        node_count=_p(bvh.node_count[:m][old_of_new], np.int32, 0),
+        node_skip=_p(skip, np.int32, -1),
+        perm=bvh.perm,
+        n_nodes=m,
+        depth=bvh.depth,
+    )
 
 
 def _build_bvh_numpy(tri_pos: np.ndarray, leaf_target: int,
@@ -190,6 +267,7 @@ def _build_bvh_numpy(tri_pos: np.ndarray, leaf_target: int,
         node_right=_p(node_right, np.int32, -1),
         node_first=_p(node_first, np.int32, 0),
         node_count=_p(node_count, np.int32, 0),
+        node_skip=np.full(pad, -1, np.int32),  # filled by thread_bvh
         perm=order,
         n_nodes=m,
         depth=max_depth,

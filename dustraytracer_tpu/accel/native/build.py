@@ -93,4 +93,5 @@ def build_bvh_native(tri_pos: np.ndarray, leaf_target: int, bins: int):
         node_min=_p(node_min, np.inf), node_max=_p(node_max, -np.inf),
         node_left=_p(node_left, -1), node_right=_p(node_right, -1),
         node_first=_p(node_first, 0), node_count=_p(node_count, 0),
+        node_skip=np.full(pad, -1, np.int32),  # filled by thread_bvh
         perm=perm, n_nodes=m, depth=depth.value)

@@ -1,30 +1,37 @@
-"""Batched BVH traversal for TPU: wavefront, masked, stack-in-arrays.
+"""Stackless batched BVH traversal for TPU: threaded pre-order walk.
 
 The reference walks the BVH with one divergent per-thread loop and a
 64-deep register stack (`/root/reference/DustRayTracer/src/Core/BVH/
-BVHTraversal.cuh:14-134`). A TPU has no per-lane control flow, so this is
-re-designed as a *lockstep wavefront*: all N rays advance one stack-pop
-per iteration of a single `lax.while_loop`, with per-ray stacks held as an
-(N, D) array and finished rays masked out. Every step is a fused batch of
-VPU ops + gathers:
+BVHTraversal.cuh:14-134`). A TPU has neither per-lane control flow nor
+cheap per-lane stacks, and XLA compiles per-lane stack scatters poorly —
+so the tree itself is *threaded*: nodes live in DFS pre-order with an
+escape ("skip") link past each subtree (`accel/bvh.py::thread_bvh`).
+Every ray then carries a single node pointer:
 
-  pop node  ->  gather node SoA  ->  leaf?  intersect MAX_LEAF triangles
-                                     inner? slab-test both children,
-                                            push far-then-near (ordered)
+    enter AABB & internal  ->  next = node + 1      (first child)
+    miss AABB or leaf      ->  next = skip[node]    (escape subtree)
+    next == -1             ->  ray done
+
+All N rays advance in lockstep through one `lax.while_loop`; each step is
+one gather of node SoA data + a fused batch of VPU slab tests + (masked)
+MAX_LEAF-wide triangle intersections. No scatters, no stacks — the layout
+this maps to is exactly what the Pallas kernel consumes.
 
 Matching reference semantics:
-- near-child-first ordering with distance culling against the current
-  closest hit (`BVHTraversal.cuh:57-71`),
+- entry-distance culling against the current closest hit
+  (`BVHTraversal.cuh:63-70`; the near-child *ordering* is deliberately
+  dropped — static threading cannot reorder children per ray — the
+  distance cull keeps the work bounded),
 - leaf intersection keeps the closest passing hit (`:46-55`),
-- visit-count "heat" accumulated for the BVH debug view (`:43`),
-- any-hit variant without ordering, early-exit on first accepted hit
+- visit-count "heat" for the BVH debug view (`:43`),
+- any-hit variant with early exit on first accepted hit
   (`traverseBVH_raytest`, `:76-134`),
 - optional alpha-cutout AnyHit filter (`Shaders/AnyHit.cuh:8-28`).
 
 Differentiation contract: traversal is a *discrete selector* — it returns
-integer hit ids (and distances for control only). Callers recompute hit
-attributes differentiably from `hit_idx` (see render/integrator.py and
-diff/); the while_loop itself is never differentiated.
+integer hit ids (and distances for control only), wrapped in
+stop_gradient. Callers recompute hit attributes differentiably from
+`hit_idx` (render/integrator.py::shade_hits).
 """
 
 from __future__ import annotations
@@ -96,15 +103,13 @@ def _leaf_intersect(scene, node, origin, direction, hit_t, alpha_test):
     return best_t, best_idx, valid.any(axis=1)
 
 
-@partial(jax.jit, static_argnames=("stack_depth", "alpha_test"))
-def traverse_closest(scene, origin, direction, *, stack_depth: int,
-                     alpha_test: bool = False):
-    """Closest-hit BVH traversal for N rays.
+@partial(jax.jit, static_argnames=("alpha_test",))
+def traverse_closest(scene, origin, direction, *, alpha_test: bool = False):
+    """Closest-hit BVH traversal for N rays (stackless threaded walk).
 
     Args:
-      scene: Scene pytree (flat SoA BVH + triangles).
+      scene: Scene pytree (threaded pre-order SoA BVH + triangles).
       origin, direction: (N, 3) f32. Direction need not be normalized.
-      stack_depth: static stack size (>= bvh depth + 1).
       alpha_test: enable the alpha-cutout AnyHit filter.
 
     Returns dict of (N,) arrays: `hit_idx` (i32, -1 = miss), `t` (f32,
@@ -113,121 +118,84 @@ def traverse_closest(scene, origin, direction, *, stack_depth: int,
     """
     n = origin.shape[0]
     inv_dir = 1.0 / direction  # inf on zero components is slab-guarded
-    rows = jnp.arange(n)
 
-    stack = jnp.zeros((n, stack_depth), jnp.int32)  # root = node 0
-    sptr = jnp.ones((n,), jnp.int32)
+    node = jnp.zeros((n,), jnp.int32)  # start at root (pre-order 0)
     hit_t = jnp.full((n,), BIG)
     hit_idx = jnp.full((n,), -1, jnp.int32)
     visits = jnp.zeros((n,), jnp.int32)
 
     def cond(carry):
-        _stack, sptr, *_ = carry
-        return jnp.any(sptr > 0)
+        node, *_ = carry
+        return jnp.any(node >= 0)
 
     def body(carry):
-        stack, sptr, hit_t, hit_idx, visits = carry
-        active = sptr > 0
-        top = jnp.maximum(sptr - 1, 0)
-        node = stack[rows, top]
-        sptr = jnp.where(active, sptr - 1, sptr)
+        node, hit_t, hit_idx, visits = carry
+        active = node >= 0
+        nd = jnp.maximum(node, 0)
         visits = visits + active.astype(jnp.int32)
 
-        is_leaf = scene.node_count[node] > 0
+        box_hit, box_t = ray_aabb_entry(origin, inv_dir, scene.node_min[nd],
+                                        scene.node_max[nd])
+        enter = active & box_hit & (box_t < hit_t)  # distance culling
+        is_leaf = scene.node_count[nd] > 0
 
-        # --- leaf: vectorized triangle window ---
-        leaf_mask = active & is_leaf
+        # --- leaf: vectorized triangle window (masked) ---
         best_t, best_idx, any_valid = _leaf_intersect(
-            scene, node, origin, direction, hit_t, alpha_test)
-        take = leaf_mask & any_valid & (best_t < hit_t)
+            scene, nd, origin, direction, hit_t, alpha_test)
+        take = enter & is_leaf & any_valid & (best_t < hit_t)
         hit_t = jnp.where(take, best_t, hit_t)
         hit_idx = jnp.where(take, best_idx, hit_idx)
 
-        # --- internal: slab-test both children, push far then near ---
-        inner_mask = active & ~is_leaf
-        left = scene.node_left[node]
-        right = scene.node_right[node]
-        lhit, lt = ray_aabb_entry(origin, inv_dir, scene.node_min[left],
-                                  scene.node_max[left])
-        rhit, rt = ray_aabb_entry(origin, inv_dir, scene.node_min[right],
-                                  scene.node_max[right])
-        lhit = lhit & (lt < hit_t)  # distance culling (BVHTraversal.cuh:63-70)
-        rhit = rhit & (rt < hit_t)
+        # --- threaded step: descend or escape ---
+        descend = enter & ~is_leaf
+        nxt = jnp.where(descend, nd + 1, scene.node_skip[nd])
+        node = jnp.where(active, nxt, node)
+        return node, hit_t, hit_idx, visits
 
-        l_near = lt <= rt
-        near_node = jnp.where(l_near, left, right)
-        far_node = jnp.where(l_near, right, left)
-        near_ok = inner_mask & jnp.where(l_near, lhit, rhit)
-        far_ok = inner_mask & jnp.where(l_near, rhit, lhit)
-
-        # Masked push via drop-mode scatter: lanes that don't push write
-        # to column `stack_depth`, which is out of bounds and dropped.
-        far_col = jnp.where(far_ok, sptr, stack_depth)
-        stack = stack.at[rows, far_col].set(far_node, mode="drop")
-        sptr = sptr + far_ok.astype(jnp.int32)
-        near_col = jnp.where(near_ok, sptr, stack_depth)
-        stack = stack.at[rows, near_col].set(near_node, mode="drop")
-        sptr = sptr + near_ok.astype(jnp.int32)
-
-        return stack, sptr, hit_t, hit_idx, visits
-
-    _, _, hit_t, hit_idx, visits = jax.lax.while_loop(
-        cond, body, (stack, sptr, hit_t, hit_idx, visits))
+    _, hit_t, hit_idx, visits = jax.lax.while_loop(
+        cond, body, (node, hit_t, hit_idx, visits))
     stop = jax.lax.stop_gradient
     return {"hit_idx": stop(hit_idx), "t": stop(hit_t), "visits": stop(visits)}
 
 
-@partial(jax.jit, static_argnames=("stack_depth", "alpha_test"))
-def traverse_anyhit(scene, origin, direction, *, stack_depth: int,
-                    alpha_test: bool = False, t_max=None):
-    """Boolean occlusion query (shadow rays).
+@partial(jax.jit, static_argnames=("alpha_test",))
+def traverse_anyhit(scene, origin, direction, *, alpha_test: bool = False,
+                    t_max=None):
+    """Boolean occlusion query (shadow rays), threaded walk.
 
-    Unordered walk with early exit on the first accepted hit — semantics
-    of `traverseBVH_raytest` (`BVHTraversal.cuh:76-134`). Returns (N,)
-    bool `occluded`.
+    Early exit on the first accepted hit — semantics of
+    `traverseBVH_raytest` (`BVHTraversal.cuh:76-134`). Returns (N,) bool
+    `occluded`.
     """
     n = origin.shape[0]
     inv_dir = 1.0 / direction
-    rows = jnp.arange(n)
     limit = jnp.broadcast_to(BIG if t_max is None else t_max, (n,))
 
-    stack = jnp.zeros((n, stack_depth), jnp.int32)
-    sptr = jnp.ones((n,), jnp.int32)
+    node = jnp.zeros((n,), jnp.int32)
     occluded = jnp.zeros((n,), bool)
 
     def cond(carry):
-        _stack, sptr, occ = carry
-        return jnp.any((sptr > 0) & ~occ)
+        node, occ = carry
+        return jnp.any((node >= 0) & ~occ)
 
     def body(carry):
-        stack, sptr, occluded = carry
-        active = (sptr > 0) & ~occluded
-        top = jnp.maximum(sptr - 1, 0)
-        node = stack[rows, top]
-        sptr = jnp.where(active, sptr - 1, sptr)
+        node, occluded = carry
+        active = (node >= 0) & ~occluded
+        nd = jnp.maximum(node, 0)
 
-        is_leaf = scene.node_count[node] > 0
+        box_hit, box_t = ray_aabb_entry(origin, inv_dir, scene.node_min[nd],
+                                        scene.node_max[nd])
+        enter = active & box_hit & (box_t < limit)
+        is_leaf = scene.node_count[nd] > 0
+
         _t, _idx, any_valid = _leaf_intersect(
-            scene, node, origin, direction, limit, alpha_test)
-        occluded = occluded | (active & is_leaf & any_valid)
+            scene, nd, origin, direction, limit, alpha_test)
+        occluded = occluded | (enter & is_leaf & any_valid)
 
-        inner_mask = active & ~is_leaf
-        left = scene.node_left[node]
-        right = scene.node_right[node]
-        lhit, lt = ray_aabb_entry(origin, inv_dir, scene.node_min[left],
-                                  scene.node_max[left])
-        rhit, rt = ray_aabb_entry(origin, inv_dir, scene.node_min[right],
-                                  scene.node_max[right])
-        l_ok = inner_mask & lhit & (lt < limit)
-        r_ok = inner_mask & rhit & (rt < limit)
+        descend = enter & ~is_leaf
+        nxt = jnp.where(descend, nd + 1, scene.node_skip[nd])
+        node = jnp.where(active, nxt, node)
+        return node, occluded
 
-        l_col = jnp.where(l_ok, sptr, stack_depth)
-        stack = stack.at[rows, l_col].set(left, mode="drop")
-        sptr = sptr + l_ok.astype(jnp.int32)
-        r_col = jnp.where(r_ok, sptr, stack_depth)
-        stack = stack.at[rows, r_col].set(right, mode="drop")
-        sptr = sptr + r_ok.astype(jnp.int32)
-        return stack, sptr, occluded
-
-    _, _, occluded = jax.lax.while_loop(cond, body, (stack, sptr, occluded))
+    _, occluded = jax.lax.while_loop(cond, body, (node, occluded))
     return jax.lax.stop_gradient(occluded)

@@ -60,7 +60,16 @@ def shade_hits(scene, origin, direction, hit_idx):
     w = 1.0 - u - v
 
     world_pos = origin + direction * t[:, None]
-    face_n = scene.tri_face_nrm[safe]
+    # Geometric normal recomputed from the (differentiable) vertex
+    # positions so vertex gradients flow through shading; the ingest-time
+    # orientation rule (Scene.cu:270-302) is applied as a stop-gradiented
+    # sign against the precomputed face normal.
+    raw_n = jnp.cross(v1 - v0, v2 - v0)
+    raw_n = raw_n / jnp.maximum(
+        jnp.linalg.norm(raw_n, axis=-1, keepdims=True), 1e-20)
+    orient = jnp.sum(jax.lax.stop_gradient(raw_n) * scene.tri_face_nrm[safe],
+                     axis=-1)
+    face_n = raw_n * jax.lax.stop_gradient(jnp.sign(orient))[:, None]
     d_norm = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
     front = jnp.sum(face_n * d_norm, axis=-1) <= 0.0
     normal = jnp.where(front[:, None], face_n, -face_n)
@@ -105,7 +114,6 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
     rng, origin, direction = generate_rays(camera, width, height, rng,
                                            pixel_ids=pixel_ids)
 
-    stack_depth = scene.bvh_depth + 2
     sun_pos = lights.sun_position()
     sun_col = lights.sun_color * lights.sun_intensity
 
@@ -119,7 +127,6 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
 
     for bounce in range(bounces):
         res = traverse_closest(scene, origin, direction,
-                               stack_depth=stack_depth,
                                alpha_test=settings.alpha_test)
         hit_idx = res["hit_idx"]
         miss = hit_idx < 0
@@ -144,7 +151,6 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
             rng, jit_vec = random_unit_vec3(rng)
             shadow_dir = sun_pos[None, :] + jit_vec * 1.5
             occluded = traverse_anyhit(scene, new_origin, shadow_dir,
-                                       stack_depth=stack_depth,
                                        alpha_test=settings.alpha_test)
             contrib = sun_col[None, :] * throughput
             if settings.nee_cosine:  # opt-in physical N·L (off = reference)

@@ -48,9 +48,12 @@ class Camera:
 
     def basis(self):
         """Orthonormal (forward, right, up) with world-up Y
-        (`Camera.cu:91-94`)."""
+        (`Camera.cu:91-94`), falling back to world-up Z when looking
+        straight up/down (the reference's basis degenerates there)."""
         fwd = self.forward / jnp.linalg.norm(self.forward)
         up_w = jnp.asarray(WORLD_UP)
+        degenerate = jnp.abs(fwd[1]) > 0.999
+        up_w = jnp.where(degenerate, jnp.asarray([0.0, 0.0, 1.0]), up_w)
         right = jnp.cross(fwd, up_w)
         right = right / jnp.maximum(jnp.linalg.norm(right), 1e-8)
         up = jnp.cross(right, fwd)

@@ -57,13 +57,15 @@ class Scene:
     tri_face_nrm: jax.Array  # (P, 3) f32  geometric normal (orientation-fixed)
     tri_mat: jax.Array  # (P,) i32        material index
 
-    # --- BVH (M = padded node count; leaf iff count > 0) ---
+    # --- BVH (M = padded node count; DFS pre-order with skip links;
+    #     leaf iff count > 0; first child of internal node i is i+1) ---
     node_min: jax.Array    # (M, 3) f32
     node_max: jax.Array    # (M, 3) f32
     node_left: jax.Array   # (M,) i32  left child (internal nodes)
     node_right: jax.Array  # (M,) i32  right child
     node_first: jax.Array  # (M,) i32  first primitive (leaves)
     node_count: jax.Array  # (M,) i32  primitive count (leaves); 0 = internal
+    node_skip: jax.Array   # (M,) i32  pre-order escape link (-1 = done)
 
     # --- materials (K entries) ---
     mat_albedo: jax.Array     # (K, 3) f32
@@ -206,6 +208,7 @@ def build_scene(doc: GltfDocument, leaf_target: int = MAX_LEAF,
         node_right=jnp.asarray(bvh.node_right),
         node_first=jnp.asarray(bvh.node_first),
         node_count=jnp.asarray(bvh.node_count),
+        node_skip=jnp.asarray(bvh.node_skip),
         mat_albedo=jnp.asarray(albedo),
         mat_emissive=jnp.asarray(emissive),
         mat_metallic=jnp.asarray(metallic),

@@ -80,3 +80,34 @@ def test_build_bvh_dispatch():
     tris = _random_tris(64)
     bvh = build_bvh(tris, leaf_target=8, bins=16)
     _check_invariants(bvh, tris, leaf_target=8)
+
+
+def test_thread_bvh_preorder_invariants():
+    """Skip links: subtree of node i occupies [i, skip_i); first child of
+    an internal node is i+1; walking skip links from the root visits every
+    node exactly once."""
+    tris = _random_tris(777, seed=5)
+    bvh = build_bvh(tris, leaf_target=8, bins=16)
+    m = bvh.n_nodes
+    leaf = bvh.node_count[:m] > 0
+    for i in range(m):
+        if not leaf[i]:
+            assert bvh.node_left[i] == i + 1
+            assert bvh.node_right[i] > bvh.node_left[i]
+    # full skip-walk (always-descend walk) touches all m nodes once
+    visited = 0
+    node = 0
+    while node != -1:
+        visited += 1
+        node = int(node + 1) if not leaf[node] else int(bvh.node_skip[node])
+        if node != -1 and visited > m:
+            break
+    assert visited == m
+    # skip of node i is i + subtree size
+    sizes = np.ones(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        if not leaf[i]:
+            sizes[i] += sizes[bvh.node_left[i]] + sizes[bvh.node_right[i]]
+    expect = np.arange(m) + sizes
+    expect[expect >= m] = -1
+    np.testing.assert_array_equal(bvh.node_skip[:m], expect)

@@ -43,8 +43,7 @@ def _brute_force(scene, o, d):
 
 def test_closest_matches_brute_force(soup):
     o, d = _random_rays(256, seed=7)
-    res = traverse_closest(soup, jnp.asarray(o), jnp.asarray(d),
-                           stack_depth=soup.bvh_depth + 2)
+    res = traverse_closest(soup, jnp.asarray(o), jnp.asarray(d))
     ref_idx, ref_t = _brute_force(soup, o, d)
     got_t = np.asarray(res["t"])
     got_idx = np.asarray(res["hit_idx"])
@@ -57,18 +56,15 @@ def test_closest_matches_brute_force(soup):
 
 def test_anyhit_consistent_with_closest(soup):
     o, d = _random_rays(256, seed=11)
-    res = traverse_closest(soup, jnp.asarray(o), jnp.asarray(d),
-                           stack_depth=soup.bvh_depth + 2)
-    occ = traverse_anyhit(soup, jnp.asarray(o), jnp.asarray(d),
-                          stack_depth=soup.bvh_depth + 2)
+    res = traverse_closest(soup, jnp.asarray(o), jnp.asarray(d))
+    occ = traverse_anyhit(soup, jnp.asarray(o), jnp.asarray(d))
     np.testing.assert_array_equal(np.asarray(occ),
                                   np.asarray(res["hit_idx"]) >= 0)
 
 
 def test_visits_bounded(soup):
     o, d = _random_rays(64, seed=3)
-    res = traverse_closest(soup, jnp.asarray(o), jnp.asarray(d),
-                           stack_depth=soup.bvh_depth + 2)
+    res = traverse_closest(soup, jnp.asarray(o), jnp.asarray(d))
     v = np.asarray(res["visits"])
     assert (v >= 1).all()
     assert (v <= soup.n_nodes).all()
@@ -79,7 +75,6 @@ def test_cornell_wall_hit(cornell_scene):
     the analytic distance."""
     o = jnp.array([[0.0, 1.25, 0.0]])
     d = jnp.array([[0.0, 0.0, -1.0]])
-    res = traverse_closest(cornell_scene, o, d,
-                           stack_depth=cornell_scene.bvh_depth + 2)
+    res = traverse_closest(cornell_scene, o, d)
     assert int(res["hit_idx"][0]) >= 0
     np.testing.assert_allclose(float(res["t"][0]), 1.25, rtol=1e-4)
