@@ -122,10 +122,14 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
     alive = jnp.ones((n,), bool)
 
     debug = settings.render_mode == RenderMode.DEBUG
-    bounces = 1 if debug else settings.bounces
     debug_out = None
 
-    for bounce in range(bounces):
+    def bounce_body(carry, bounce_idx):
+        """One path segment for all rays. Compiled ONCE and scanned over
+        bounce indices — unrolling replicated the traversal graph per
+        bounce and made fwd+bwd compile times explode."""
+        origin, direction, throughput, light, alive, rng = carry
+
         res = traverse_closest(scene, origin, direction,
                                alpha_test=settings.alpha_test)
         hit_idx = res["hit_idx"]
@@ -147,7 +151,7 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
         new_origin = sh["world_position"] + sh["normal"] * 1e-3
 
         # --- sun NEE shadow ray (RayGen.cuh:120-128) ---
-        if settings.enable_sunlight and not debug:
+        if settings.enable_sunlight:
             rng, jit_vec = random_unit_vec3(rng)
             shadow_dir = sun_pos[None, :] + jit_vec * 1.5
             occluded = traverse_anyhit(scene, new_origin, shadow_dir,
@@ -161,35 +165,14 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
             light = light + jnp.where((live_hit & ~occluded)[:, None],
                                       contrib, 0.0)
 
-        # --- debug heads (RayGen.cuh:136-161) ---
-        if debug:
-            dm = settings.debug_mode
-            if dm == DebugMode.ALBEDO:
-                debug_out = jnp.where(live_hit[:, None], throughput, light)
-            elif dm == DebugMode.NORMAL:
-                debug_out = jnp.where(live_hit[:, None], sh["normal"], 0.0)
-            elif dm == DebugMode.BARYCENTRIC:
-                debug_out = jnp.where(live_hit[:, None], sh["bary"], 0.0)
-            elif dm == DebugMode.UVS:
-                uvs = jnp.concatenate(
-                    [sh["uv"], jnp.zeros((n, 1))], axis=-1)
-                debug_out = jnp.where(live_hit[:, None], uvs, 0.0)
-            elif dm in (DebugMode.BVH, DebugMode.WORLD_BVH):
-                # heat = visits * 0.05 (BVHTraversal.cuh:43), hit base color
-                # (0, 0.1, 0.1) (RayGen.cuh:156-158)
-                heat = res["visits"].astype(jnp.float32) * 0.05
-                base = jnp.where(live_hit[:, None],
-                                 jnp.asarray([0.0, 0.1, 0.1]), 0.0)
-                debug_out = base + heat[:, None]
-            break
-
         # --- russian roulette (new capability; north-star item) ---
-        if settings.russian_roulette and bounce >= settings.rr_start_bounce:
+        if settings.russian_roulette:
             rng, u_rr = random_float(rng)
             p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
-            survive = u_rr < p
-            throughput = jnp.where(survive[:, None], throughput / p[:, None],
-                                   throughput)
+            do_rr = bounce_idx >= settings.rr_start_bounce
+            survive = ~do_rr | (u_rr < p)
+            scale = jnp.where(do_rr & survive, 1.0 / p, 1.0)
+            throughput = throughput * scale[:, None]
             alive = live_hit & survive
         else:
             alive = live_hit
@@ -202,8 +185,46 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
             bounce_dir = sh["normal"] + sph
             bounce_dir = bounce_dir / jnp.maximum(
                 jnp.linalg.norm(bounce_dir, axis=-1, keepdims=True), 1e-8)
-        origin = new_origin
-        direction = bounce_dir
+
+        return (new_origin, bounce_dir, throughput, light, alive, rng), None
+
+    if debug:
+        # single traced iteration feeding the debug view heads
+        # (RayGen.cuh:136-161)
+        res = traverse_closest(scene, origin, direction,
+                               alpha_test=settings.alpha_test)
+        hit_idx = res["hit_idx"]
+        live_hit = alive & (hit_idx >= 0)
+        sh = shade_hits(scene, origin, direction, hit_idx)
+        alb = _albedo(scene, sh["material"], sh["uv"])
+        throughput = jnp.where(live_hit[:, None], throughput * alb, throughput)
+        sky = _sky(direction, lights)
+        light = light + jnp.where((~live_hit)[:, None],
+                                  throughput * sky * lights.sky_intensity, 0.0)
+
+        dm = settings.debug_mode
+        if dm == DebugMode.ALBEDO:
+            debug_out = jnp.where(live_hit[:, None], throughput, light)
+        elif dm == DebugMode.NORMAL:
+            debug_out = jnp.where(live_hit[:, None], sh["normal"], 0.0)
+        elif dm == DebugMode.BARYCENTRIC:
+            debug_out = jnp.where(live_hit[:, None], sh["bary"], 0.0)
+        elif dm == DebugMode.UVS:
+            uvs = jnp.concatenate([sh["uv"], jnp.zeros((n, 1))], axis=-1)
+            debug_out = jnp.where(live_hit[:, None], uvs, 0.0)
+        elif dm in (DebugMode.BVH, DebugMode.WORLD_BVH):
+            # heat = visits * 0.05 (BVHTraversal.cuh:43), hit base color
+            # (0, 0.1, 0.1) (RayGen.cuh:156-158)
+            heat = res["visits"].astype(jnp.float32) * 0.05
+            base = jnp.where(live_hit[:, None],
+                             jnp.asarray([0.0, 0.1, 0.1]), 0.0)
+            debug_out = base + heat[:, None]
+    else:
+        carry = (origin, direction, throughput, light, alive, rng)
+        carry, _ = jax.lax.scan(
+            bounce_body, carry,
+            jnp.arange(settings.bounces, dtype=jnp.int32))
+        light = carry[3]
 
     if debug:
         color = debug_out
