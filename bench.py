@@ -21,9 +21,10 @@ import time
 
 import numpy as np
 
-# Self-baseline: first recorded measurement on TPU v5 lite (round 1).
-# Updated only when the workload definition changes.
-BASELINE_RAYS_PER_SEC = None  # set after first real-chip measurement
+# Self-baseline: first recorded measurement on TPU v5 lite (round 1,
+# threaded-gather traversal, scan integrator). Updated only when the
+# workload definition changes.
+BASELINE_RAYS_PER_SEC = 448303.1
 
 WIDTH = HEIGHT = 256
 BOUNCES = 2

@@ -1,0 +1,126 @@
+"""Cluster BVH: the MXU-native acceleration structure.
+
+Per-lane gathers are the slow path on TPU (no hardware gather; XLA lowers
+them to serialized HBM loads) — the threaded walk in ops/traverse.py pays
+for one gather set per step. This module removes gathers entirely:
+
+1. The SAH-permuted triangle soup is cut into C fixed-size *clusters* of
+   K consecutive triangles (SAH ordering makes runs spatially coherent).
+2. A small threaded BVH is built over cluster AABBs (leaf = 1 cluster).
+3. Triangle data lives in dense cluster-major tables (C, K, ...).
+
+Traversal (ops/traverse_cluster.py) then *selects* rows by one-hot
+matmul: `onehot(node_ids, M) @ node_table` and
+`onehot(cluster_ids, C) @ tri_table` — dense MXU contractions instead of
+random access. Each ray that reaches a leaf intersects the cluster's
+full K-wide triangle vector; the waste (K tests instead of ~leaf-size)
+is deliberate — dense FLOPs on the MXU are orders of magnitude cheaper
+than gathers.
+
+This is the structure the Pallas kernel consumes with everything pinned
+in VMEM. Capability lineage: same role as the reference's flat
+BVHNode array + reordered soup (`BVHBuilder.cu:175-214`), re-laid-out
+for a systolic-array machine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+CLUSTER_K = 64  # triangles per cluster; multiple of the 8-sublane tile
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ClusterBvh:
+    """Dense cluster tables + threaded top-level BVH (all padded)."""
+
+    # top-level threaded BVH over clusters (M nodes, pre-order + skip)
+    node_min: jax.Array   # (M, 3) f32
+    node_max: jax.Array   # (M, 3) f32
+    node_skip: jax.Array  # (M,) i32
+    node_cluster: jax.Array  # (M,) i32 cluster id for leaves, -1 internal
+
+    # cluster-major triangle data (C clusters x K tris)
+    v0: jax.Array  # (C, K, 3) f32
+    e1: jax.Array  # (C, K, 3) f32  v1 - v0
+    e2: jax.Array  # (C, K, 3) f32  v2 - v0
+    tri_idx: jax.Array  # (C, K) i32 original triangle id, -1 for padding
+
+    n_nodes: int = field(metadata=dict(static=True), default=0)
+    n_clusters: int = field(metadata=dict(static=True), default=0)
+    k: int = field(metadata=dict(static=True), default=CLUSTER_K)
+
+
+def build_cluster_bvh(tri_pos: np.ndarray, k: int = CLUSTER_K,
+                      bins: int = 16) -> ClusterBvh:
+    """Build cluster tables over an (already SAH-permuted) triangle array.
+
+    `tri_pos` must be the post-BVH-permutation (N, 3, 3) array (the padded
+    Scene.tri_pos works: padding triangles are degenerate and never hit).
+    """
+    from dustraytracer_tpu.accel.bvh import _build_bvh_numpy, thread_bvh
+
+    n = tri_pos.shape[0]
+    c = max(1, -(-n // k))
+    pad_n = c * k
+    tp = np.zeros((pad_n, 3, 3), np.float32)
+    tp[:n] = tri_pos
+
+    v0 = tp[:, 0].reshape(c, k, 3)
+    e1 = (tp[:, 1] - tp[:, 0]).reshape(c, k, 3)
+    e2 = (tp[:, 2] - tp[:, 0]).reshape(c, k, 3)
+    tri_idx = np.arange(pad_n, dtype=np.int32).reshape(c, k)
+    tri_idx[tri_idx >= n] = -1
+    # padding tris are all-zero -> MT det==0 -> rejected; also mask by
+    # tri_idx in the traversal
+
+    # cluster AABBs; build a tiny BVH treating each cluster as one "tri"
+    # with its AABB corners as a degenerate triangle for the builder
+    cl_min = tp.reshape(c, k * 3, 3).min(axis=1)
+    cl_max = tp.reshape(c, k * 3, 3).max(axis=1)
+    # represent each cluster by a 3-corner "triangle" spanning its AABB so
+    # the SAH builder sees the right bounds and centroids
+    fake = np.stack([cl_min, cl_max, 0.5 * (cl_min + cl_max)], axis=1)
+    bvh = thread_bvh(_build_bvh_numpy(fake, leaf_target=1, bins=bins))
+
+    m = bvh.n_nodes
+    node_cluster = np.full(bvh.node_min.shape[0], -1, np.int32)
+    leaf = bvh.node_count[:m] > 0
+    # leaf_target=1 => every leaf holds exactly one cluster (= its
+    # node_first index into the permuted cluster order)
+    node_cluster[:m][leaf] = bvh.perm[bvh.node_first[:m][leaf]].astype(np.int32)
+
+    # One-hot matmul selection computes 0 * x for every non-selected row —
+    # padding must be FINITE (0 * inf = NaN would poison every result).
+    # Inverted finite boxes (min > max) can never be entered.
+    node_min_f = np.nan_to_num(bvh.node_min, posinf=1e30, neginf=-1e30)
+    node_max_f = np.nan_to_num(bvh.node_max, posinf=1e30, neginf=-1e30)
+
+    # Pad both tables to multiples of 128 rows: the one-hot contraction
+    # dimension then tiles exactly onto the MXU (mis-aligned contraction
+    # dims triggered pathological Mosaic compiles on v5e).
+    def pad128(a, fill=0.0):
+        r = (-a.shape[0]) % 128
+        if r == 0:
+            return a
+        return np.concatenate(
+            [a, np.full((r,) + a.shape[1:], fill, a.dtype)], axis=0)
+
+    return ClusterBvh(
+        node_min=jnp.asarray(pad128(node_min_f, 1e30)),
+        node_max=jnp.asarray(pad128(node_max_f, -1e30)),
+        node_skip=jnp.asarray(pad128(bvh.node_skip, -1)),
+        node_cluster=jnp.asarray(pad128(node_cluster, -1)),
+        v0=jnp.asarray(pad128(v0)),
+        e1=jnp.asarray(pad128(e1)),
+        e2=jnp.asarray(pad128(e2)),
+        tri_idx=jnp.asarray(pad128(tri_idx, -1)),
+        n_nodes=m,
+        n_clusters=c,
+        k=k,
+    )

@@ -90,6 +90,10 @@ def main(argv=None) -> int:
                       vfov_deg=args.vfov)
     settings = RenderSettings(bounces=args.bounces, enable_tonemap=False,
                               enable_gamma=False)
+    if "vertices" in args.optimize:
+        # vertex updates would go stale against baked cluster tables; the
+        # gather traversal reads live geometry
+        settings = settings.replace(traversal="gather")
     lights = LightParams.from_settings(settings)
 
     # --- target ---

@@ -100,6 +100,41 @@ def _albedo(scene, mats, uv, hits_tex_bilinear=False):
     return jnp.where((tex >= 0)[:, None], sampled, flat)
 
 
+def _make_tracers(scene, settings: RenderSettings):
+    """Pick the traversal backend (static decision, traced once).
+
+    cluster (gather-free one-hot MXU walk) when the scene carries cluster
+    tables and the mode allows; threaded gather walk otherwise
+    (alpha-test needs per-hit texture fetches the cluster tables don't
+    carry, and vertex optimization mutates tri_pos which would go stale
+    vs the baked cluster tables).
+    """
+    from dustraytracer_tpu.ops.traverse_cluster import traverse_cluster
+
+    use_cluster = (scene.cluster is not None
+                   and settings.traversal != "gather"
+                   and not settings.alpha_test)
+    if settings.traversal == "cluster" and scene.cluster is None:
+        raise ValueError("settings.traversal='cluster' but the scene was "
+                         "built without cluster tables (cluster_k=None)")
+    if use_cluster:
+        def closest(o, d):
+            return traverse_cluster(scene.cluster, o, d)
+
+        def anyhit(o, d):
+            r = traverse_cluster(scene.cluster, o, d, anyhit=True)
+            return r["hit_idx"] >= 0
+    else:
+        def closest(o, d):
+            return traverse_closest(scene, o, d,
+                                    alpha_test=settings.alpha_test)
+
+        def anyhit(o, d):
+            return traverse_anyhit(scene, o, d,
+                                   alpha_test=settings.alpha_test)
+    return closest, anyhit
+
+
 def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
                   pixel_ids, *, width: int, height: int,
                   settings: RenderSettings):
@@ -110,6 +145,7 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
     parallel/). `render_sample` below is the full-frame convenience.
     """
     n = pixel_ids.shape[0]
+    trace_closest, trace_anyhit = _make_tracers(scene, settings)
     rng = seed_pixels(pixel_ids.astype(jnp.uint32), frame_idx)
     rng, origin, direction = generate_rays(camera, width, height, rng,
                                            pixel_ids=pixel_ids)
@@ -130,8 +166,7 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
         bounce and made fwd+bwd compile times explode."""
         origin, direction, throughput, light, alive, rng = carry
 
-        res = traverse_closest(scene, origin, direction,
-                               alpha_test=settings.alpha_test)
+        res = trace_closest(origin, direction)
         hit_idx = res["hit_idx"]
         miss = hit_idx < 0
 
@@ -154,8 +189,7 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
         if settings.enable_sunlight:
             rng, jit_vec = random_unit_vec3(rng)
             shadow_dir = sun_pos[None, :] + jit_vec * 1.5
-            occluded = traverse_anyhit(scene, new_origin, shadow_dir,
-                                       alpha_test=settings.alpha_test)
+            occluded = trace_anyhit(new_origin, shadow_dir)
             contrib = sun_col[None, :] * throughput
             if settings.nee_cosine:  # opt-in physical N·L (off = reference)
                 d_n = shadow_dir / jnp.linalg.norm(shadow_dir, axis=-1,
@@ -191,8 +225,7 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
     if debug:
         # single traced iteration feeding the debug view heads
         # (RayGen.cuh:136-161)
-        res = traverse_closest(scene, origin, direction,
-                               alpha_test=settings.alpha_test)
+        res = trace_closest(origin, direction)
         hit_idx = res["hit_idx"]
         live_hit = alive & (hit_idx >= 0)
         sh = shade_hits(scene, origin, direction, hit_idx)

@@ -79,6 +79,9 @@ class Scene:
     tex_hw: jax.Array     # (T, 2) i32  (height, width)
     tex_has_alpha: jax.Array  # (T,) bool  any texel alpha < 255
 
+    # --- optional gather-free acceleration tables (accel/cluster.py) ---
+    cluster: object = None  # ClusterBvh | None (pytree child)
+
     # --- static metadata (aux; not traced) ---
     n_tris: int = field(metadata=dict(static=True), default=0)
     n_nodes: int = field(metadata=dict(static=True), default=0)
@@ -117,7 +120,8 @@ def _face_normals(pos: np.ndarray, nrm: np.ndarray) -> np.ndarray:
 
 
 def build_scene(doc: GltfDocument, leaf_target: int = MAX_LEAF,
-                bins: int = 16, use_native: bool = True) -> Scene:
+                bins: int = 16, use_native: bool = True,
+                cluster_k: int | None = 64) -> Scene:
     """Flatten a GltfDocument into a Scene: triangle soup, BVH, materials,
     texture stack. BVH construction reorders the soup so leaves reference
     contiguous ranges (same strategy as `BVHBuilder.cu:175-214`)."""
@@ -196,7 +200,14 @@ def build_scene(doc: GltfDocument, leaf_target: int = MAX_LEAF,
         hw = np.ones((1, 2), np.int32)
         has_alpha = np.zeros(1, bool)
 
+    cluster = None
+    if cluster_k:
+        from dustraytracer_tpu.accel.cluster import build_cluster_bvh
+
+        cluster = build_cluster_bvh(pos_p, k=cluster_k, bins=bins)
+
     return Scene(
+        cluster=cluster,
         tri_pos=jnp.asarray(pos_p),
         tri_nrm=jnp.asarray(nrm_p),
         tri_uv=jnp.asarray(uv_p),

@@ -66,6 +66,12 @@ class RenderSettings:
     sky_intensity: float = 20.0
 
     # New knobs (not in the reference)
+    traversal: str = "auto"         # "auto" | "cluster" | "gather":
+    #   cluster = gather-free one-hot MXU walk (ops/traverse_cluster.py),
+    #   gather = threaded per-lane gather walk (ops/traverse.py).
+    #   auto picks cluster when the scene carries cluster tables and the
+    #   mode supports it (alpha_test and stale-geometry vertex
+    #   optimization need gather).
     alpha_test: bool = False        # alpha-cutout any-hit (AnyHit.cuh:8-28)
     russian_roulette: bool = False  # RR path termination (north-star item)
     rr_start_bounce: int = 2

@@ -90,6 +90,11 @@ def test_vertex_position_grad_matches_fd(setup):
 
     base = np.asarray(scene.tri_pos)
 
+    # vertex optimization mutates tri_pos -> baked cluster tables go
+    # stale; the gather traversal reads live geometry (documented
+    # constraint, integrator._make_tracers)
+    sg = s.replace(traversal="gather")
+
     def f(delta):
         # tilt the ground quad: raise ONE vertex of triangle 0 — changes
         # the face normal (NEE cosine + bounce lobe) and the hit point;
@@ -97,7 +102,7 @@ def test_vertex_position_grad_matches_fd(setup):
         # sun direction, directional sky)
         tp = jnp.asarray(base).at[0, 0, 1].add(delta.reshape(()))
         img = render_sample(scene.replace(tri_pos=tp), cam, lights,
-                            jnp.uint32(0), width=W, height=H, settings=s)
+                            jnp.uint32(0), width=W, height=H, settings=sg)
         return jnp.mean(img)
 
     ad, fd = check_grads_vs_fd(f, np.array([0.0]), eps=5e-3, rtol=8e-2)
