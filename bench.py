@@ -35,8 +35,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    if jax.default_backend() == "cpu":
+        # CPU only: cached Mosaic (Pallas) executables HANG when reloaded
+        # through the axon TPU plugin's persistent cache
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from dustraytracer_tpu.render.integrator import render_sample
     from dustraytracer_tpu.scene import load_scene, make_camera

@@ -208,11 +208,11 @@ def cmd_render(args) -> int:
 def main(argv=None) -> int:
     import jax
 
-    # Persistent compile cache: the integrator's first compile is long
-    # (unrolled bounce loop of while_loop traversals); cache across runs.
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # Persistent compile cache, CPU only: cached Mosaic (Pallas)
+    # executables HANG when reloaded through the axon TPU plugin.
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     args = build_parser().parse_args(argv)
     if args.command == "stats":
         return cmd_stats(args)

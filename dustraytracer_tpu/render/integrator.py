@@ -110,6 +110,7 @@ def _make_tracers(scene, settings: RenderSettings):
     vs the baked cluster tables).
     """
     from dustraytracer_tpu.ops.traverse_cluster import traverse_cluster
+    from dustraytracer_tpu.ops.traverse_pallas import traverse_cluster_pallas
 
     use_cluster = (scene.cluster is not None
                    and settings.traversal != "gather"
@@ -117,7 +118,22 @@ def _make_tracers(scene, settings: RenderSettings):
     if settings.traversal == "cluster" and scene.cluster is None:
         raise ValueError("settings.traversal='cluster' but the scene was "
                          "built without cluster tables (cluster_k=None)")
-    if use_cluster:
+    # The fused Pallas kernel is the fast path on real TPUs; the XLA
+    # cluster walk serves CPU (tests/sharding sim) and the BVH debug view
+    # (the kernel doesn't track visit counts — carry size limits).
+    use_pallas = (use_cluster
+                  and jax.default_backend() != "cpu"
+                  and not (settings.render_mode == RenderMode.DEBUG
+                           and settings.debug_mode in (DebugMode.BVH,
+                                                       DebugMode.WORLD_BVH)))
+    if use_pallas:
+        def closest(o, d):
+            return traverse_cluster_pallas(scene.cluster, o, d)
+
+        def anyhit(o, d):
+            r = traverse_cluster_pallas(scene.cluster, o, d, anyhit=True)
+            return r["hit_idx"] >= 0
+    elif use_cluster:
         def closest(o, d):
             return traverse_cluster(scene.cluster, o, d)
 

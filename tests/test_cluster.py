@@ -74,3 +74,39 @@ def test_cluster_padding_never_hits(soup):
     res = traverse_cluster(cb, o, d)
     idx = np.asarray(res["hit_idx"])
     assert (idx < scene.n_tris).all()
+
+
+def test_pallas_interpret_matches_cluster(soup):
+    """The fused Pallas kernel (interpret mode on CPU) must agree exactly
+    with the XLA cluster walk."""
+    from dustraytracer_tpu.ops.traverse_pallas import traverse_cluster_pallas
+
+    scene, cb = soup
+    o, d = _rays(1200, 13)
+    rp = traverse_cluster_pallas(cb, o, d, interpret=True)
+    rc = traverse_cluster(cb, o, d)
+    np.testing.assert_array_equal(np.asarray(rp["hit_idx"]),
+                                  np.asarray(rc["hit_idx"]))
+    m = np.asarray(rc["hit_idx"]) >= 0
+    np.testing.assert_allclose(np.asarray(rp["t"])[m],
+                               np.asarray(rc["t"])[m], rtol=1e-5)
+
+
+def test_pallas_zero_gradient_contract(soup):
+    """Kernel is opaque to AD: zero cotangents for scene tables and rays."""
+    import dataclasses
+
+    import jax
+
+    from dustraytracer_tpu.ops.traverse_pallas import traverse_cluster_pallas
+
+    scene, cb = soup
+    o, d = _rays(512, 17)
+
+    def f(v0):
+        cb2 = dataclasses.replace(cb, v0=v0)
+        r = traverse_cluster_pallas(cb2, o, d, interpret=True)
+        return jnp.sum(jnp.where(r["t"] < 1e30, r["t"], 0.0))
+
+    g = jax.grad(f)(cb.v0)
+    assert float(jnp.abs(g).max()) == 0.0
