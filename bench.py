@@ -60,16 +60,15 @@ def main():
 
     step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2)))
 
-    def run(frame):
-        v, g = step(scene.mat_albedo, scene.mat_emissive, lights,
-                    jnp.uint32(frame))
-        jax.block_until_ready((v, g))
-        return v
+    out = step(scene.mat_albedo, scene.mat_emissive, lights, jnp.uint32(0))
+    jax.block_until_ready(out)  # compile
 
-    run(0)  # compile
+    # pipeline all timed dispatches, sync once: per-dispatch host
+    # round-trips over the axon tunnel would otherwise dominate
     t0 = time.perf_counter()
-    for f in range(1, 1 + SPP_TIMED):
-        run(f)
+    outs = [step(scene.mat_albedo, scene.mat_emissive, lights,
+                 jnp.uint32(1 + f)) for f in range(SPP_TIMED)]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
     n_pixels = WIDTH * HEIGHT

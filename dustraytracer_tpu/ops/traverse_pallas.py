@@ -217,7 +217,6 @@ def traverse_cluster_pallas(cb: ClusterBvh, origin, direction, *,
     return _opaque(anyhit, interpret)(cb, origin, direction, t_max)
 
 
-@partial(jax.jit, static_argnames=("anyhit", "interpret"))
 def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
                    *, anyhit: bool, interpret: bool):
     n = origin.shape[0]

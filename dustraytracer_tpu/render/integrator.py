@@ -151,6 +151,99 @@ def _make_tracers(scene, settings: RenderSettings):
     return closest, anyhit
 
 
+def _segment(scene, lights, settings: RenderSettings, tracers, carry,
+             bounce_idx, traced):
+    """One path segment for all rays (the body of both scan phases).
+
+    traced=None  -> TRACE phase: run the traversal kernels, emit the
+                    discrete decisions (hit ids, occlusion, RR survival)
+                    as scan outputs. Runs on stop-gradient inputs, so AD
+                    never sees the kernels.
+    traced=dict  -> SHADE phase: replay the recorded decisions and do
+                    only differentiable math. This is the graph that gets
+                    transposed in backward — no traversal inside, so
+                    fwd+bwd pays for traversal exactly once.
+
+    Both phases draw the identical RNG stream, so replayed geometry is
+    bit-identical to the traced one.
+    """
+    origin, direction, throughput, light, alive, rng = carry
+    tracing = traced is None
+    sun_pos = lights.sun_position()
+    sun_col = lights.sun_color * lights.sun_intensity
+
+    if tracing:
+        trace_closest, trace_anyhit = tracers
+        res = trace_closest(origin, direction)
+        hit_idx = res["hit_idx"]
+    else:
+        hit_idx = traced["hit_idx"]
+    miss = hit_idx < 0
+
+    # --- sky on miss (RayGen.cuh:99-108) ---
+    sky = _sky(direction, lights)
+    add_sky = alive & miss
+    light = light + jnp.where(add_sky[:, None],
+                              throughput * sky * lights.sky_intensity, 0.0)
+
+    sh = shade_hits(scene, origin, direction, hit_idx)
+    live_hit = alive & ~miss
+
+    # --- surface throughput (RayGen.cuh:110-118) ---
+    alb = _albedo(scene, sh["material"], sh["uv"])
+    throughput = jnp.where(live_hit[:, None], throughput * alb, throughput)
+
+    new_origin = sh["world_position"] + sh["normal"] * 1e-3
+
+    # --- sun NEE shadow ray (RayGen.cuh:120-128) ---
+    n = origin.shape[0]
+    occluded = jnp.zeros((n,), bool)
+    if settings.enable_sunlight:
+        rng, jit_vec = random_unit_vec3(rng)
+        shadow_dir = sun_pos[None, :] + jit_vec * 1.5
+        if tracing:
+            occluded = trace_anyhit(new_origin, shadow_dir)
+        else:
+            occluded = traced["occluded"]
+        contrib = sun_col[None, :] * throughput
+        if settings.nee_cosine:  # opt-in physical N·L (off = reference)
+            d_n = shadow_dir / jnp.linalg.norm(shadow_dir, axis=-1,
+                                               keepdims=True)
+            contrib = contrib * jnp.maximum(
+                jnp.sum(sh["normal"] * d_n, axis=-1), 0.0)[:, None]
+        light = light + jnp.where((live_hit & ~occluded)[:, None],
+                                  contrib, 0.0)
+
+    # --- russian roulette (new capability; north-star item) ---
+    survive = jnp.ones((n,), bool)
+    if settings.russian_roulette:
+        rng, u_rr = random_float(rng)
+        p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+        do_rr = bounce_idx >= settings.rr_start_bounce
+        if tracing:
+            survive = ~do_rr | (u_rr < jax.lax.stop_gradient(p))
+        else:
+            survive = traced["survive"]
+        scale = jnp.where(do_rr & survive, 1.0 / p, 1.0)
+        throughput = throughput * scale[:, None]
+        alive = live_hit & survive
+    else:
+        alive = live_hit
+
+    # --- diffuse bounce (RayGen.cuh:133-134) ---
+    rng, ball = random_in_ball(rng)
+    bounce_dir = sh["normal"] + ball
+    if settings.cosine_weighted:
+        rng, sph = random_unit_vec3(rng)
+        bounce_dir = sh["normal"] + sph
+        bounce_dir = bounce_dir / jnp.maximum(
+            jnp.linalg.norm(bounce_dir, axis=-1, keepdims=True), 1e-8)
+
+    new_carry = (new_origin, bounce_dir, throughput, light, alive, rng)
+    ys = {"hit_idx": hit_idx, "occluded": occluded, "survive": survive}
+    return new_carry, ys
+
+
 def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
                   pixel_ids, *, width: int, height: int,
                   settings: RenderSettings):
@@ -159,88 +252,27 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
     This is the shardable unit: a device mesh splits `pixel_ids` into
     tiles and each device runs this same function on its shard (see
     parallel/). `render_sample` below is the full-frame convenience.
+
+    Non-debug rendering runs in two scanned phases (see _segment): trace
+    (discrete, kernels, stop-grad) then shade (differentiable replay).
     """
     n = pixel_ids.shape[0]
-    trace_closest, trace_anyhit = _make_tracers(scene, settings)
-    rng = seed_pixels(pixel_ids.astype(jnp.uint32), frame_idx)
-    rng, origin, direction = generate_rays(camera, width, height, rng,
-                                           pixel_ids=pixel_ids)
-
-    sun_pos = lights.sun_position()
-    sun_col = lights.sun_color * lights.sun_intensity
-
-    light = jnp.zeros((n, 3))
-    throughput = jnp.ones((n, 3))
-    alive = jnp.ones((n,), bool)
-
     debug = settings.render_mode == RenderMode.DEBUG
-    debug_out = None
 
-    def bounce_body(carry, bounce_idx):
-        """One path segment for all rays. Compiled ONCE and scanned over
-        bounce indices — unrolling replicated the traversal graph per
-        bounce and made fwd+bwd compile times explode."""
-        origin, direction, throughput, light, alive, rng = carry
-
-        res = trace_closest(origin, direction)
-        hit_idx = res["hit_idx"]
-        miss = hit_idx < 0
-
-        # --- sky on miss (RayGen.cuh:99-108) ---
-        sky = _sky(direction, lights)
-        add_sky = alive & miss
-        light = light + jnp.where(add_sky[:, None],
-                                  throughput * sky * lights.sky_intensity, 0.0)
-
-        sh = shade_hits(scene, origin, direction, hit_idx)
-        live_hit = alive & ~miss
-
-        # --- surface throughput (RayGen.cuh:110-118) ---
-        alb = _albedo(scene, sh["material"], sh["uv"])
-        throughput = jnp.where(live_hit[:, None], throughput * alb, throughput)
-
-        new_origin = sh["world_position"] + sh["normal"] * 1e-3
-
-        # --- sun NEE shadow ray (RayGen.cuh:120-128) ---
-        if settings.enable_sunlight:
-            rng, jit_vec = random_unit_vec3(rng)
-            shadow_dir = sun_pos[None, :] + jit_vec * 1.5
-            occluded = trace_anyhit(new_origin, shadow_dir)
-            contrib = sun_col[None, :] * throughput
-            if settings.nee_cosine:  # opt-in physical N·L (off = reference)
-                d_n = shadow_dir / jnp.linalg.norm(shadow_dir, axis=-1,
-                                                   keepdims=True)
-                contrib = contrib * jnp.maximum(
-                    jnp.sum(sh["normal"] * d_n, axis=-1), 0.0)[:, None]
-            light = light + jnp.where((live_hit & ~occluded)[:, None],
-                                      contrib, 0.0)
-
-        # --- russian roulette (new capability; north-star item) ---
-        if settings.russian_roulette:
-            rng, u_rr = random_float(rng)
-            p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
-            do_rr = bounce_idx >= settings.rr_start_bounce
-            survive = ~do_rr | (u_rr < p)
-            scale = jnp.where(do_rr & survive, 1.0 / p, 1.0)
-            throughput = throughput * scale[:, None]
-            alive = live_hit & survive
-        else:
-            alive = live_hit
-
-        # --- diffuse bounce (RayGen.cuh:133-134) ---
-        rng, ball = random_in_ball(rng)
-        bounce_dir = sh["normal"] + ball
-        if settings.cosine_weighted:
-            rng, sph = random_unit_vec3(rng)
-            bounce_dir = sh["normal"] + sph
-            bounce_dir = bounce_dir / jnp.maximum(
-                jnp.linalg.norm(bounce_dir, axis=-1, keepdims=True), 1e-8)
-
-        return (new_origin, bounce_dir, throughput, light, alive, rng), None
+    def start_rays(cam):
+        rng = seed_pixels(pixel_ids.astype(jnp.uint32), frame_idx)
+        rng, origin, direction = generate_rays(cam, width, height, rng,
+                                               pixel_ids=pixel_ids)
+        light = jnp.zeros((n, 3))
+        throughput = jnp.ones((n, 3))
+        alive = jnp.ones((n,), bool)
+        return (origin, direction, throughput, light, alive, rng)
 
     if debug:
         # single traced iteration feeding the debug view heads
         # (RayGen.cuh:136-161)
+        trace_closest, _ = _make_tracers(scene, settings)
+        origin, direction, throughput, light, alive, _rng = start_rays(camera)
         res = trace_closest(origin, direction)
         hit_idx = res["hit_idx"]
         live_hit = alive & (hit_idx >= 0)
@@ -268,18 +300,32 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
             base = jnp.where(live_hit[:, None],
                              jnp.asarray([0.0, 0.1, 0.1]), 0.0)
             debug_out = base + heat[:, None]
-    else:
-        carry = (origin, direction, throughput, light, alive, rng)
-        carry, _ = jax.lax.scan(
-            bounce_body, carry,
-            jnp.arange(settings.bounces, dtype=jnp.int32))
-        light = carry[3]
-
-    if debug:
         color = debug_out
         post = settings.debug_mode == DebugMode.ALBEDO
     else:
-        color = light
+        bounce_ids = jnp.arange(settings.bounces, dtype=jnp.int32)
+
+        # --- phase 1: trace. Only int/bool decisions leave this scan, so
+        # AD cannot flow into it; no stop_gradient cloning needed.
+        tracers = _make_tracers(scene, settings)
+
+        def trace_body(carry, bounce_idx):
+            return _segment(scene, lights, settings, tracers, carry,
+                            bounce_idx, None)
+
+        _, traced = jax.lax.scan(trace_body, start_rays(camera),
+                                 bounce_ids)
+        traced = jax.lax.stop_gradient(traced)
+
+        # --- phase 2: shade (differentiable replay of the decisions)
+        def shade_body(carry, x):
+            bounce_idx, rec = x
+            return _segment(scene, lights, settings, None, carry,
+                            bounce_idx, rec)
+
+        carry, _ = jax.lax.scan(shade_body, start_rays(camera),
+                                (bounce_ids, traced))
+        color = carry[3]
         post = True
 
     # post (RayGen.cuh:164-169): tonemap + gamma in NORMAL mode and the

@@ -14,10 +14,10 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config knob
 # is authoritative.
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: integrator compiles are tens of seconds;
-# cache them across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NOTE: persistent compilation cache intentionally DISABLED — it served
+# stale executables after integrator changes ("supplied 28 buffers but
+# compiled program expected 31") and hangs reloaded Pallas kernels on
+# the axon TPU plugin.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
