@@ -34,7 +34,7 @@ def build_parser():
                    help="render target from true params, scramble, recover")
     p.add_argument("--optimize", nargs="+", default=["albedo"],
                    choices=["albedo", "emissive", "roughness", "metallic",
-                            "lights", "camera", "vertices"])
+                            "lights", "camera", "vertices", "textures"])
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=2e-2)
     p.add_argument("--size", default="128x128")
@@ -60,6 +60,7 @@ PARAM_KEYS = {
     "roughness": "mat_roughness",
     "metallic": "mat_metallic",
     "vertices": "tri_pos",
+    "textures": "tex_stack",
 }
 
 
@@ -72,7 +73,9 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     import optax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    if jax.default_backend() == "cpu":
+        # CPU only: cached Pallas executables hang on the axon TPU plugin
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from dustraytracer_tpu.parallel.mesh import make_render_mesh
     from dustraytracer_tpu.parallel.shard import apply_params
@@ -85,6 +88,11 @@ def main(argv=None) -> int:
     os.makedirs(args.out, exist_ok=True)
     w, h = (int(x) for x in args.size.split("x"))
     scene = load_scene(args.scene)
+    if "textures" in args.optimize:
+        # texel values become differentiable parameters on a linear
+        # float32 stack (render-identical to the uint8 path)
+        from dustraytracer_tpu.render.texture import decode_textures
+        scene = decode_textures(scene)
     cam = make_camera(position=tuple(float(x) for x in args.camera_pos.split(",")),
                       look_at=tuple(float(x) for x in args.look_at.split(",")),
                       vfov_deg=args.vfov)
@@ -94,6 +102,9 @@ def main(argv=None) -> int:
         # vertex updates would go stale against baked cluster tables; the
         # gather traversal reads live geometry
         settings = settings.replace(traversal="gather")
+    if {"emissive", "metallic", "roughness"} & set(args.optimize):
+        # these parameters only shade in the PBR model
+        settings = settings.replace(shading="pbr")
     lights = LightParams.from_settings(settings)
 
     # --- target ---

@@ -22,7 +22,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_UINT_MAX = jnp.uint32(0xFFFFFFFF)
+_UINT_MAX = 0xFFFFFFFF  # python int: module-level jnp arrays become hoisted
+# constants that the jit fastpath mishandles (buffer-count crashes)
 
 
 def pcg_hash(x):

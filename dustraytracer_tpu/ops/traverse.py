@@ -44,7 +44,8 @@ import jax.numpy as jnp
 from dustraytracer_tpu.ops.intersect import moller_trumbore, ray_aabb_entry
 from dustraytracer_tpu.scene.scene import MAX_LEAF
 
-BIG = jnp.float32(3.4e38)
+BIG = 3.4e38  # python float, NOT jnp: captured jnp arrays become hoisted
+# constants that the jit fastpath mishandles (buffer-count crashes)
 
 
 def _sample_alpha(scene, tex_idx, uv):
@@ -58,7 +59,9 @@ def _sample_alpha(scene, tex_idx, uv):
     fv = uv[..., 1] - jnp.floor(uv[..., 1])
     x = jnp.clip((fu * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((fv * h).astype(jnp.int32), 0, h - 1)
-    a = scene.tex_stack[safe_tex, y, x, 3].astype(jnp.float32) / 255.0
+    a = scene.tex_stack[safe_tex, y, x, 3].astype(jnp.float32)
+    if scene.tex_stack.dtype == jnp.uint8:
+        a = a / 255.0
     opaque = (tex_idx < 0) | ~scene.tex_has_alpha[safe_tex]
     return jnp.where(opaque, 1.0, a)
 

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from dustraytracer_tpu.accel.cluster import ClusterBvh
 from dustraytracer_tpu.ops.intersect import TRIANGLE_EPSILON
 
-BIG = jnp.float32(3.4e38)
+BIG = 3.4e38  # python float, NOT jnp: captured jnp arrays become hoisted
+# constants that the jit fastpath mishandles (buffer-count crashes)
 TILE = 512
 
 

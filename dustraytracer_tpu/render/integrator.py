@@ -189,6 +189,12 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
     sh = shade_hits(scene, origin, direction, hit_idx)
     live_hit = alive & ~miss
 
+    # --- emission (PBR mode; the reference parses EmissiveFactor but
+    #     never shades it, Material.cuh:10-22) ---
+    if settings.shading == "pbr":
+        emis = scene.mat_emissive[sh["material"]]
+        light = light + jnp.where(live_hit[:, None], throughput * emis, 0.0)
+
     # --- surface throughput (RayGen.cuh:110-118) ---
     alb = _albedo(scene, sh["material"], sh["uv"])
     throughput = jnp.where(live_hit[:, None], throughput * alb, throughput)
@@ -230,7 +236,7 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
     else:
         alive = live_hit
 
-    # --- diffuse bounce (RayGen.cuh:133-134) ---
+    # --- bounce: diffuse (RayGen.cuh:133-134) or PBR metal lobe ---
     rng, ball = random_in_ball(rng)
     bounce_dir = sh["normal"] + ball
     if settings.cosine_weighted:
@@ -238,6 +244,21 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
         bounce_dir = sh["normal"] + sph
         bounce_dir = bounce_dir / jnp.maximum(
             jnp.linalg.norm(bounce_dir, axis=-1, keepdims=True), 1e-8)
+    if settings.shading == "pbr":
+        # stochastic lobe choice: P(metal) = metallic; specular direction
+        # is the mirror reflection fuzzed by roughness (differentiable in
+        # roughness and geometry; the lobe CHOICE is discrete and
+        # identical across trace/shade phases since both see the same
+        # params and RNG stream)
+        rng, u_lobe = random_float(rng)
+        metallic = scene.mat_metallic[sh["material"]]
+        roughness = scene.mat_roughness[sh["material"]]
+        d_n = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+        refl = d_n - 2.0 * jnp.sum(d_n * sh["normal"], axis=-1,
+                                   keepdims=True) * sh["normal"]
+        spec_dir = refl + roughness[:, None] * ball
+        is_metal = u_lobe < jax.lax.stop_gradient(metallic)
+        bounce_dir = jnp.where(is_metal[:, None], spec_dir, bounce_dir)
 
     new_carry = (new_origin, bounce_dir, throughput, light, alive, rng)
     ys = {"hit_idx": hit_idx, "occluded": occluded, "survive": survive}
@@ -335,7 +356,21 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
     if post and settings.enable_gamma:
         color = gamma_correct(color)
 
-    return color
+    # Zero-valued anchor over EVERY input leaf: different settings
+    # variants would otherwise prune different unused arguments from
+    # their executables, and jax's C++ jit fastpath has a bug pairing one
+    # variant's argument-pruning metadata with another variant's
+    # executable ("Execution supplied N buffers but compiled program
+    # expected M"). Making pruning identical across variants defuses it.
+    return color + _use_all_inputs(scene, camera, lights)
+
+
+def _use_all_inputs(*pytrees):
+    z = jnp.float32(0.0)
+    for t in pytrees:
+        for leaf in jax.tree.leaves(t):
+            z = z + 0.0 * jnp.ravel(leaf)[0].astype(jnp.float32)
+    return z
 
 
 @partial(jax.jit, static_argnames=("width", "height", "settings"))

@@ -30,11 +30,18 @@ def sample_texture(scene, tex_idx, uv, bilinear: bool = False):
     fu = _wrap(uv[..., 0]) * w
     fv = _wrap(uv[..., 1]) * h
 
+    is_u8 = scene.tex_stack.dtype == jnp.uint8
+
     def fetch(xi, yi):
         xi = jnp.clip(xi, 0, hw[..., 1] - 1)
         yi = jnp.clip(yi, 0, hw[..., 0] - 1)
-        rgb = scene.tex_stack[safe, yi, xi, :3].astype(jnp.float32) / 255.0
-        return rgb * rgb  # gamma-2 decode (Texture.cu:56)
+        rgb = scene.tex_stack[safe, yi, xi, :3]
+        if is_u8:
+            rgb = rgb.astype(jnp.float32) / 255.0
+            return rgb * rgb  # gamma-2 decode (Texture.cu:56)
+        # float stacks store LINEAR texel values (the learnable-texture
+        # path for inverse rendering) — no decode
+        return rgb
 
     if not bilinear:
         return fetch(fu.astype(jnp.int32), fv.astype(jnp.int32))
@@ -52,3 +59,21 @@ def sample_texture(scene, tex_idx, uv, bilinear: bool = False):
     top = c00 * (1 - tx) + c10 * tx
     bot = c01 * (1 - tx) + c11 * tx
     return top * (1 - ty) + bot * ty
+
+
+def decode_textures(scene):
+    """Convert the uint8 texture stack to a LINEAR float32 stack.
+
+    Float stacks are sampled without the gamma-2 decode, making every
+    texel a differentiable parameter — the learnable-texture path for
+    inverse rendering (BASELINE config 5: texture gradients). The render
+    is value-identical to the uint8 path."""
+    import jax.numpy as jnp
+
+    u8 = scene.tex_stack
+    if u8.dtype != jnp.uint8:
+        return scene
+    f = u8.astype(jnp.float32) / 255.0
+    rgb = f[..., :3] ** 2  # match the u8 path's gamma-2 decode
+    alpha = f[..., 3:4]
+    return scene.replace(tex_stack=jnp.concatenate([rgb, alpha], axis=-1))

@@ -66,6 +66,11 @@ class RenderSettings:
     sky_intensity: float = 20.0
 
     # New knobs (not in the reference)
+    shading: str = "reference"      # "reference" | "pbr":
+    #   reference = the upstream integrator exactly (albedo-only diffuse;
+    #   metallic/roughness/emissive parsed but unused, Material.cuh:10-22)
+    #   pbr = emissive emission + metallic specular lobe with roughness
+    #   fuzz (north-star "full PBR materials" / EmissiveTest.glb)
     traversal: str = "auto"         # "auto" | "cluster" | "gather":
     #   cluster = gather-free one-hot MXU walk (ops/traverse_cluster.py),
     #   gather = threaded per-lane gather walk (ops/traverse.py).

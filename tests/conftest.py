@@ -17,7 +17,11 @@ jax.config.update("jax_platforms", "cpu")
 # NOTE: persistent compilation cache intentionally DISABLED — it served
 # stale executables after integrator changes ("supplied 28 buffers but
 # compiled program expected 31") and hangs reloaded Pallas kernels on
-# the axon TPU plugin.
+# the axon TPU plugin. The in-memory executable-dedup cache is disabled
+# too: it pairs one variant's argument-pruning metadata with another
+# variant's executable when graphs differ only in hoisted constants
+# (buffer-count crashes).
+
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
