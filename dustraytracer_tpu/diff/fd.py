@@ -45,8 +45,14 @@ def fd_grad(f, x, eps: float = 1e-3) -> np.ndarray:
 
 def check_grads_vs_fd(f, x, eps: float = 1e-3, rtol: float = 5e-2,
                       atol: float = 1e-4):
-    """Assert jax.grad(f)(x) ~= central differences. Returns (ad, fd)."""
-    ad = np.asarray(jax.grad(f)(jnp.asarray(x, jnp.float32)), np.float64)
+    """Assert jit(grad(f))(x) ~= central differences. Returns (ad, fd).
+
+    The gradient is jitted (the production path): eagerly-executed
+    backward passes evaluate masked-out branches op-by-op, where inf
+    intermediates that XLA would fold away become NaNs.
+    """
+    ad = np.asarray(jax.jit(jax.grad(f))(jnp.asarray(x, jnp.float32)),
+                    np.float64)
     fd = fd_grad(f, x, eps)
     scale = np.maximum(np.abs(fd), np.abs(ad))
     err = np.abs(ad - fd)

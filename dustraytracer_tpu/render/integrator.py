@@ -57,6 +57,14 @@ def shade_hits(scene, origin, direction, hit_idx):
     v1 = scene.tri_pos[safe, 1]
     v2 = scene.tri_pos[safe, 2]
     _valid, t, u, v = moller_trumbore(origin, direction, v0, v1, v2)
+    # Sanitize miss lanes: their MT solution is garbage (possibly ±inf),
+    # and infinities poison gradients even through masked-out branches
+    # (transpose rule: 0 cotangent * inf = NaN). Callers still mask by
+    # hit_idx >= 0 for correctness; this only makes the dead lanes finite.
+    ok = hit_idx >= 0
+    t = jnp.where(ok, t, 1.0)
+    u = jnp.where(ok, u, 0.3)
+    v = jnp.where(ok, v, 0.3)
     w = 1.0 - u - v
 
     world_pos = origin + direction * t[:, None]
@@ -188,6 +196,33 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
 
     sh = shade_hits(scene, origin, direction, hit_idx)
     live_hit = alive & ~miss
+
+    # --- soft-edge visibility (boundary-term gradients) ---
+    # Hits near a triangle edge blend continuously into the sky: the hit
+    # fraction sigma -> 0 at the silhouette, so moving a vertex moves the
+    # silhouette SMOOTHLY and jax.grad sees the visibility change that a
+    # hard hit/miss decision hides. The discrete hit id still comes from
+    # the (stop-grad) traversal; only the blend weight differentiates.
+    if settings.soft_edges > 0.0:
+        b_min = jnp.min(sh["bary"], axis=-1)
+        # input-side gating (double-where): miss rays carry garbage
+        # barycentrics whose backward pass would NaN-poison the whole
+        # gradient through jnp.where
+        b_min = jnp.where(live_hit, b_min, 0.5)
+        # profile with sigma(0) == 0 exactly: radiance is C0-continuous
+        # across the silhouette (a nonzero value at the edge would leave a
+        # residual jump that AD cannot see but FD does). Known artifact:
+        # interior shared edges dip toward the environment — acceptable
+        # for silhouette optimization, off by default.
+        sigma = 1.0 - jnp.exp(-jnp.maximum(b_min, 0.0)
+                              / settings.soft_edges)
+        sky_e = _sky(direction, lights)
+        light = light + jnp.where(
+            live_hit[:, None],
+            throughput * (1.0 - sigma)[:, None] * sky_e
+            * lights.sky_intensity, 0.0)
+        throughput = jnp.where(live_hit[:, None],
+                               throughput * sigma[:, None], throughput)
 
     # --- emission (PBR mode; the reference parses EmissiveFactor but
     #     never shades it, Material.cuh:10-22) ---
@@ -326,17 +361,23 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
     else:
         bounce_ids = jnp.arange(settings.bounces, dtype=jnp.int32)
 
-        # --- phase 1: trace. Only int/bool decisions leave this scan, so
-        # AD cannot flow into it; no stop_gradient cloning needed.
-        tracers = _make_tracers(scene, settings)
+        # --- phase 1: trace, on stop-gradient inputs. Its useful outputs
+        # are int/bool decisions, but without cutting the INPUT tangents
+        # the linearized trace scan still pushes tangents through the
+        # traversal loops, whose inf sentinels turn them into NaNs
+        # (0-tangent * inf). stop_gradient up front keeps AD out entirely.
+        sg = jax.lax.stop_gradient
+        scene_sg = sg(scene)
+        camera_sg = sg(camera)
+        lights_sg = sg(lights)
+        tracers = _make_tracers(scene_sg, settings)
 
         def trace_body(carry, bounce_idx):
-            return _segment(scene, lights, settings, tracers, carry,
+            return _segment(scene_sg, lights_sg, settings, tracers, carry,
                             bounce_idx, None)
 
-        _, traced = jax.lax.scan(trace_body, start_rays(camera),
+        _, traced = jax.lax.scan(trace_body, start_rays(camera_sg),
                                  bounce_ids)
-        traced = jax.lax.stop_gradient(traced)
 
         # --- phase 2: shade (differentiable replay of the decisions)
         def shade_body(carry, x):
@@ -373,7 +414,8 @@ def _use_all_inputs(*pytrees):
     return z
 
 
-@partial(jax.jit, static_argnames=("width", "height", "settings"))
+@partial(jax.jit, static_argnames=("width", "height", "settings"),
+         inline=True)
 def render_sample(scene, camera: Camera, lights: LightParams, frame_idx,
                   *, width: int, height: int, settings: RenderSettings):
     """Render one sample per pixel; returns (H, W, 3) post-processed color.

@@ -80,6 +80,12 @@ class RenderSettings:
     alpha_test: bool = False        # alpha-cutout any-hit (AnyHit.cuh:8-28)
     russian_roulette: bool = False  # RR path termination (north-star item)
     rr_start_bounce: int = 2
+    soft_edges: float = 0.0         # differentiable silhouettes: hits
+    #   within ~soft_edges (barycentric units) of a triangle edge blend
+    #   continuously into the environment, giving vertex gradients a
+    #   boundary term (the visibility discontinuity AD cannot see).
+    #   0 = hard visibility (reference). Typical: 0.02-0.1 for vertex
+    #   optimization. Slightly softens silhouettes (documented bias).
     cosine_weighted: bool = False   # true-Lambertian bounce (normalized);
     #   default False reproduces the reference's normal + in-ball sample
     #   (`RayGen.cuh:133-134`)

@@ -140,3 +140,90 @@ def test_grad_zero_through_traversal_ids(setup):
 
     g = jax.grad(f)(scene.tri_pos)
     assert float(jnp.abs(g).max()) == 0.0
+
+
+def test_soft_edge_silhouette_gradient():
+    """Boundary-term gradient: translating a quad whose silhouette is
+    seen ENTIRELY against the sky must produce a vertex gradient matching
+    finite differences. With hard visibility this gradient is
+    zero/undefined (the hit mask is discrete); soft_edges makes the
+    silhouette differentiable.
+
+    Scope of the approximation (documented in settings.soft_edges): edges
+    blend toward the ENVIRONMENT, so silhouettes backed by other geometry
+    keep a residual discontinuity — hence the sky-backed setup here.
+    """
+    from dustraytracer_tpu.scene.gltf import (GltfDocument, GltfMaterial)
+    from dustraytracer_tpu.scene.scene import build_scene
+    from tests.util_scenes import make_quad
+
+    doc = GltfDocument(
+        meshes=[("wall", [make_quad((0, 4, -2), 2, axis=2, mat=0)])],
+        materials=[GltfMaterial(base_color=np.array([0.9, 0.2, 0.2],
+                                                    np.float32))],
+        images=[], cameras=[])
+    scene = build_scene(doc, use_native=False)
+
+    cam = make_camera(position=(0.0, 1.0, 2.0), look_at=(0.0, 4.0, -2.0),
+                      vfov_deg=60.0)
+    s = RenderSettings(bounces=1, enable_tonemap=False, enable_gamma=False,
+                       enable_sunlight=False, soft_edges=0.08,
+                       traversal="gather")
+    lights = LightParams.from_settings(s)
+    base = np.asarray(scene.tri_pos)
+
+    true_dx = 0.3
+
+    def render_at(dx, frame):
+        tp = jnp.asarray(base).at[:2, :, 0].add(dx)
+        return render_sample(scene.replace(tri_pos=tp), cam, lights,
+                            frame, width=W, height=H, settings=s)
+
+    target = render_at(jnp.float32(true_dx), jnp.uint32(0))
+
+    def loss(dx, frame):
+        return jnp.mean((render_at(dx, frame) - target) ** 2)
+
+    grad_fn = jax.jit(jax.grad(loss))
+
+    # Pointwise AD != FD at boundary-kink pixels (one-sided derivatives;
+    # inherent to soft visibility under finite sampling), so the gate is
+    # BEHAVIORAL: gradient descent on the silhouette must recover the
+    # true translation. Hard visibility has zero gradient and goes
+    # nowhere.
+    import optax
+
+    tx = optax.adam(0.02)
+    dx = jnp.float32(0.0)
+    opt = tx.init(dx)
+    for step in range(300):
+        g = grad_fn(dx, jnp.uint32(step % 8))
+        upd, opt = tx.update(g, opt, dx)
+        dx = optax.apply_updates(dx, upd)
+    assert abs(float(dx) - true_dx) < 0.05, \
+        f"silhouette optimization should recover dx={true_dx}, got {float(dx)}"
+
+    # hard visibility: zero gradient, no movement
+    s_hard = s.replace(soft_edges=0.0)
+
+    def loss_hard(dx):
+        tp = jnp.asarray(base).at[:2, :, 0].add(dx)
+        img = render_sample(scene.replace(tri_pos=tp), cam, lights,
+                            jnp.uint32(0), width=W, height=H,
+                            settings=s_hard)
+        return jnp.mean((img - target) ** 2)
+
+    g_hard = float(jax.jit(jax.grad(loss_hard))(jnp.float32(0.0)))
+    assert g_hard == 0.0, "hard visibility has no silhouette gradient"
+
+
+def test_soft_edges_off_matches_reference(tri_scene):
+    """soft_edges=0 must leave the image bit-identical."""
+    cam = make_camera(position=(0, 2, 6), look_at=(0, 1, 0), vfov_deg=50.0)
+    s0 = RenderSettings(bounces=2, enable_tonemap=False, enable_gamma=False)
+    lights = LightParams.from_settings(s0)
+    a = render_sample(tri_scene, cam, lights, jnp.uint32(0),
+                      width=W, height=H, settings=s0)
+    b = render_sample(tri_scene, cam, lights, jnp.uint32(0), width=W,
+                      height=H, settings=s0.replace(soft_edges=0.0))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
