@@ -100,7 +100,8 @@ def _traverse_tile(cb: ClusterBvh, origin, direction, anyhit: bool,
         if node_fetch == "onehot":
             oh_n = _onehot_f32(nd, m)  # (T, M)
             nrow = jnp.dot(oh_n, node_tab,
-                           preferred_element_type=jnp.float32)  # (T, 8)
+                           preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (T, 8)
             bmin = nrow[:, 0:3]
             bmax = nrow[:, 3:6]
             skip = nrow[:, 6].astype(jnp.int32)
@@ -125,7 +126,8 @@ def _traverse_tile(cb: ClusterBvh, origin, direction, anyhit: bool,
         # --- leaf: one-hot cluster fetch + K-wide MT ---
         oh_c = _onehot_f32(jnp.where(enter & is_leaf, cluster, -1), c)
         rows = jnp.dot(oh_c, tri_tab,
-                       preferred_element_type=jnp.float32)  # (T, 9K)
+                       preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (T, 9K)
         v0 = rows[:, 0:3 * k].reshape(tsize, k, 3)
         e1 = rows[:, 3 * k:6 * k].reshape(tsize, k, 3)
         e2 = rows[:, 6 * k:9 * k].reshape(tsize, k, 3)
@@ -140,7 +142,8 @@ def _traverse_tile(cb: ClusterBvh, origin, direction, anyhit: bool,
         # original tri id via the same one-hot (tri_idx table row fetch;
         # padding slots carry -1)
         idx_rows = jnp.dot(oh_c, cb.tri_idx.astype(jnp.float32),
-                           preferred_element_type=jnp.float32)  # (T, K)
+                           preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (T, K)
         best_idx = idx_rows[r, lane].astype(jnp.int32)
         improve = (best_t < hit_t) & (best_idx >= 0)
         hit_t = jnp.where(improve, best_t, hit_t)

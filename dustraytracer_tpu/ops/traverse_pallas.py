@@ -80,7 +80,8 @@ def _kernel(rays_ref, node_ref, v0_ref, e1_ref, e2_ref, idx_ref,
         # --- node row: (8, M) @ onehot(M, T) -> (8, T) ---
         oh_n = (node_iota == nd).astype(jnp.float32)  # (M, T)
         nrow = jnp.dot(node_ref[:], oh_n,
-                       preferred_element_type=jnp.float32)  # (8, T)
+                       preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (8, T)
         bminx = nrow[0:1, :]
         bminy = nrow[1:2, :]
         bminz = nrow[2:3, :]
@@ -112,9 +113,12 @@ def _kernel(rays_ref, node_ref, v0_ref, e1_ref, e2_ref, idx_ref,
         sel = jnp.where(enter & is_leaf, cluster, -1)
         oh_c = (clus_iota == sel).astype(jnp.float32)  # (C, T)
         v0r = jnp.dot(v0_ref[:], oh_c,
-                      preferred_element_type=jnp.float32)  # (3K, T)
-        e1r = jnp.dot(e1_ref[:], oh_c, preferred_element_type=jnp.float32)
-        e2r = jnp.dot(e2_ref[:], oh_c, preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (3K, T)
+        e1r = jnp.dot(e1_ref[:], oh_c, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        e2r = jnp.dot(e2_ref[:], oh_c, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         v0x, v0y, v0z = v0r[:k, :], v0r[k:2 * k, :], v0r[2 * k:, :]
         e1x, e1y, e1z = e1r[:k, :], e1r[k:2 * k, :], e1r[2 * k:, :]
         e2x, e2y, e2z = e2r[:k, :], e2r[k:2 * k, :], e2r[2 * k:, :]
@@ -142,7 +146,8 @@ def _kernel(rays_ref, node_ref, v0_ref, e1_ref, e2_ref, idx_ref,
         t_masked = jnp.where(valid, tt, BIG)
         best_t = jnp.min(t_masked, axis=0, keepdims=True)  # (1, T)
         idr = jnp.dot(idx_ref[:], oh_c,
-                      preferred_element_type=jnp.float32)  # (K, T)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (K, T)
         tri_id = idr.astype(jnp.int32)
         is_best = valid & (t_masked <= best_t)
         best_id = jnp.min(jnp.where(is_best, tri_id, IBIG), axis=0,

@@ -1,0 +1,304 @@
+"""Pallas TPU kernel: min-sweep cluster-BVH traversal.
+
+The one-hot kernel (ops/traverse_pallas.py) pays O(total triangles) of
+MXU work on EVERY while-step — each lane selects its own cluster with a
+(C, T) one-hot contraction — so dense scenes collapse (15k tris ran 20x
+slower per ray than 1k tris).
+
+This kernel exploits a property of threaded DFS pre-order traversal:
+a ray's node pointer only moves FORWARD (descend = i+1, miss/leaf =
+skip link, both greater than i). So across a ray tile, the minimum
+node pointer strictly increases, and the whole walk can be driven by a
+single *uniform scalar* node cursor:
+
+    i = min over lanes of node_ptr          (scalar)
+    process node i for the lanes parked on it
+    lanes advance; min strictly increases  ->  <= M iterations, ever
+
+A uniform cursor changes the memory story completely:
+
+- node fields become 8 *scalar* SMEM reads per step (no one-hot, no
+  gather) broadcast against the ray vectors,
+- a leaf's K triangles become ONE one-hot MATVEC (10K, C) @ (C, 1)
+  against the VMEM-resident planar table — paid per leaf actually
+  visited, not per step. (A dynamic lane-slice would be cheaper still,
+  but Mosaic requires lane-dim slice starts to be 128-aligned; the
+  matvec uses Precision.HIGHEST so f32 selection is exact.)
+
+Per-tile work is therefore proportional to the nodes the tile's rays
+*actually touch* (the union over lanes), matching SIMT GPU traversal
+(`/root/reference/.../BVHTraversal.cuh:14-73`) instead of brute force:
+coherent tiles finish in ~log(C)+few-leaf steps; the absolute worst
+case (every lane fully divergent) degenerates to ONE full sweep over
+the tree — which is what the one-hot kernel paid per *step*.
+
+Same contract as traverse_cluster: stop-gradiented hit_idx / t /
+visits (visits IS tracked here — state lives in VMEM scratch, not the
+while carry, so the extra counter costs one masked add).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dustraytracer_tpu.accel.cluster import ClusterBvh
+
+BIG = 3.4e38
+TILE = 512
+# node scalar tables live in SMEM; gate on node count so we never ask
+# for more scalar memory than the core has (fallback: one-hot kernel)
+MAX_SMEM_NODES = 4096
+
+
+def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
+            node_s, t_s, idx_s, vis_s, *, m, c, k, anyhit):
+    t = rays_ref.shape[-1]
+
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    lim = rays_ref[6:7, :]
+    inv_x = 1.0 / dx
+    inv_y = 1.0 / dy
+    inv_z = 1.0 / dz
+
+    # per-ray state in VMEM scratch (scratch persists across grid steps:
+    # re-init every step). node == m means finished.
+    node_s[:] = jnp.zeros((1, t), jnp.int32)
+    t_s[:] = lim
+    idx_s[:] = jnp.full((1, t), -1, jnp.int32)
+    vis_s[:] = jnp.zeros((1, t), jnp.int32)
+
+    def cond(carry):
+        step, i = carry
+        return jnp.logical_and(step < m + 4, i < m)
+
+    def body(carry):
+        step, i = carry
+        # --- uniform node: 8 scalar SMEM reads ---
+        bminx = node_box_ref[i, 0]
+        bminy = node_box_ref[i, 1]
+        bminz = node_box_ref[i, 2]
+        bmaxx = node_box_ref[i, 3]
+        bmaxy = node_box_ref[i, 4]
+        bmaxz = node_box_ref[i, 5]
+        skip = node_link_ref[i, 0]      # already remapped: -1 -> m
+        cluster = node_link_ref[i, 1]   # >= 0 iff leaf
+        is_leaf = cluster >= 0
+
+        node = node_s[:]
+        hit_t = t_s[:]
+        active = node == i
+        vis_s[:] = vis_s[:] + active.astype(jnp.int32)
+
+        # --- slab test vs the uniform box (scalar-vector broadcast) ---
+        tx0 = (bminx - ox) * inv_x
+        tx1 = (bmaxx - ox) * inv_x
+        ty0 = (bminy - oy) * inv_y
+        ty1 = (bmaxy - oy) * inv_y
+        tz0 = (bminz - oz) * inv_z
+        tz1 = (bmaxz - oz) * inv_z
+        t_lo = jnp.maximum(jnp.maximum(jnp.fmin(tx0, tx1),
+                                       jnp.fmin(ty0, ty1)),
+                           jnp.fmin(tz0, tz1))
+        t_hi = jnp.minimum(jnp.minimum(jnp.fmax(tx0, tx1),
+                                       jnp.fmax(ty0, ty1)),
+                           jnp.fmax(tz0, tz1))
+        t_enter = jnp.maximum(t_lo, 0.0)
+        box_hit = (t_enter <= t_hi) & (t_hi >= 0.0)
+        enter = active & box_hit & (t_enter < hit_t)
+
+        # advance: enter an interior node -> its first child is i+1
+        # (pre-order); otherwise the escape link. Leaf lanes intersect
+        # below and then also escape.
+        nxt = jnp.where(enter & (~is_leaf), i + 1, skip)
+        node_s[:] = jnp.where(active, nxt, node)
+
+        @pl.when(is_leaf)
+        def _leaf():
+            # --- uniform cluster fetch: ONE one-hot matvec over the
+            # fused component table, O(K*C) per leaf VISITED, not per
+            # step (Mosaic forbids unaligned lane-dim dynamic slices,
+            # so select via MXU). Precision HIGHEST: the default f32
+            # matmul truncates operands to bf16 — 3xbf16 passes carry
+            # 24 mantissa bits, so selecting an f32 by a 0/1 vector is
+            # EXACT; without it hit-t values visibly drift. ---
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+                  == cluster).astype(jnp.float32)  # (C, 1)
+            rows = jax.lax.dot_general(
+                tri_ref[:], oh, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)  # (10K, 1)
+            v0x, v0y, v0z = rows[0:k], rows[k:2 * k], rows[2 * k:3 * k]
+            e1x, e1y, e1z = (rows[3 * k:4 * k], rows[4 * k:5 * k],
+                             rows[5 * k:6 * k])
+            e2x, e2y, e2z = (rows[6 * k:7 * k], rows[7 * k:8 * k],
+                             rows[8 * k:9 * k])
+            tri_id = rows[9 * k:10 * k].astype(jnp.int32)  # (K, 1)
+
+            # Möller–Trumbore, (K, 1) x (1, T) -> (K, T)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            par = jnp.abs(det) < 1e-6
+            inv_det = 1.0 / jnp.where(par, 1.0, det)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            u = inv_det * (tvx * px + tvy * py + tvz * pz)
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = inv_det * (dx * qx + dy * qy + dz * qz)
+            tt = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+            cur_t = t_s[:]
+            valid = (~par) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
+                & (u + v <= 1.0) & (tt > 1e-6) & (tri_id >= 0)
+            valid = valid & enter & (tt < cur_t)
+
+            t_masked = jnp.where(valid, tt, BIG)
+            best_t = jnp.min(t_masked, axis=0, keepdims=True)  # (1, T)
+            is_best = valid & (t_masked <= best_t)
+            best_id = jnp.min(
+                jnp.where(is_best, tri_id, jnp.int32(2**30)),
+                axis=0, keepdims=True)
+            improve = (best_t < cur_t) & (best_id < 2**30)
+            t_s[:] = jnp.where(improve, best_t, cur_t)
+            idx_s[:] = jnp.where(improve, best_id, idx_s[:])
+            if anyhit:
+                node_s[:] = jnp.where(improve, m, node_s[:])
+
+        # the min over lanes strictly increases -> <= m iterations total
+        # (the step counter is belt-and-braces against layout bugs)
+        return step + 1, jnp.min(node_s[:])
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+
+    out_ref[0:1, :] = t_s[:]
+    out_ref[1:2, :] = idx_s[:].astype(jnp.float32)
+    out_ref[2:3, :] = vis_s[:].astype(jnp.float32)
+    out_ref[3:8, :] = jnp.zeros((5, t), jnp.float32)
+
+
+_OPAQUE_CACHE = {}
+
+
+def _opaque(anyhit: bool, interpret: bool):
+    """custom_vjp wrapper: discrete selector, zero cotangents (same
+    contract as traverse_pallas — callers differentiate recomputed hit
+    attributes, never the kernel)."""
+    key = (anyhit, interpret)
+    if key in _OPAQUE_CACHE:
+        return _OPAQUE_CACHE[key]
+
+    @jax.custom_vjp
+    def run(cb, origin, direction, t_max):
+        return _traverse_impl(cb, origin, direction, t_max,
+                              anyhit=anyhit, interpret=interpret)
+
+    def fwd(cb, origin, direction, t_max):
+        shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            (cb, origin, direction, t_max))
+        return run(cb, origin, direction, t_max), shapes
+
+    def bwd(shapes, _g):
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    run.defvjp(fwd, bwd)
+    _OPAQUE_CACHE[key] = run
+    return run
+
+
+def traverse_cluster_sweep(cb: ClusterBvh, origin, direction, *,
+                           anyhit: bool = False, t_max=None,
+                           interpret: bool = False):
+    """Min-sweep kernel traversal; same results as traverse_cluster.
+
+    Opaque to autodiff (zero gradients — discrete selector contract).
+    Requires cb.n_nodes <= MAX_SMEM_NODES (caller falls back otherwise).
+    """
+    if t_max is None:
+        t_max = jnp.float32(BIG)
+    return _opaque(anyhit, interpret)(cb, origin, direction, t_max)
+
+
+def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
+                   *, anyhit: bool, interpret: bool):
+    n = origin.shape[0]
+    m = cb.n_nodes
+    k = cb.k
+    c_pad = cb.v0.shape[0]
+
+    pad = (-n) % TILE
+    o = jnp.concatenate([origin, jnp.ones((pad, 3))], axis=0)
+    d = jnp.concatenate([direction, jnp.ones((pad, 3))], axis=0)
+    ntot = n + pad
+    n_tiles = ntot // TILE
+    limit = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    lim = jnp.concatenate([limit, jnp.full((pad,), BIG)], axis=0)
+
+    zero = jnp.zeros_like(lim)
+    rays = jnp.stack([o[:, 0], o[:, 1], o[:, 2],
+                      d[:, 0], d[:, 1], d[:, 2], lim, zero],
+                     axis=0)  # (8, ntot)
+    rays = rays.reshape(8, n_tiles, TILE).transpose(1, 0, 2) \
+        .reshape(n_tiles * 8, TILE)
+
+    # SMEM node tables, real nodes only (padding rows never visited)
+    node_box = jnp.concatenate([cb.node_min[:m], cb.node_max[:m]],
+                               axis=1)  # (m, 6) f32
+    skip = cb.node_skip[:m]
+    skip = jnp.where(skip < 0, m, skip)  # sentinel: done == m
+    node_link = jnp.stack([skip, cb.node_cluster[:m]], axis=1)  # (m, 2)
+
+    # fused planar component table (10K, C), clusters on lanes:
+    # rows [v0x v0y v0z | e1xyz | e2xyz | tri_idx] x K — a leaf visit
+    # is ONE one-hot matvec
+    def plane_T(a):  # (C, K, 3) -> (3K, C)
+        return jnp.concatenate([a[..., 0], a[..., 1], a[..., 2]],
+                               axis=1).T
+
+    tri_tab = jnp.concatenate(
+        [plane_T(cb.v0), plane_T(cb.e1), plane_T(cb.e2),
+         cb.tri_idx.astype(jnp.float32).T], axis=0)  # (10K, C_pad)
+
+    ray_spec = pl.BlockSpec((8, TILE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((8, TILE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = partial(_kernel, m=m, c=c_pad, k=k, anyhit=anyhit)
+
+    packed = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  ray_spec, tab_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, TILE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, TILE), jnp.int32),
+                        pltpu.VMEM((1, TILE), jnp.float32),
+                        pltpu.VMEM((1, TILE), jnp.int32),
+                        pltpu.VMEM((1, TILE), jnp.int32)],
+        interpret=interpret,
+    )(node_box, node_link, rays, tri_tab)
+
+    packed = packed.reshape(n_tiles, 8, TILE)
+    hit_t = packed[:, 0, :].reshape(-1)[:n]
+    hit_idx = packed[:, 1, :].reshape(-1)[:n].astype(jnp.int32)
+    visits = packed[:, 2, :].reshape(-1)[:n].astype(jnp.int32)
+    stop = jax.lax.stop_gradient
+    return {"hit_idx": stop(hit_idx), "t": stop(hit_t),
+            "visits": stop(visits)}

@@ -119,6 +119,8 @@ def _make_tracers(scene, settings: RenderSettings):
     """
     from dustraytracer_tpu.ops.traverse_cluster import traverse_cluster
     from dustraytracer_tpu.ops.traverse_pallas import traverse_cluster_pallas
+    from dustraytracer_tpu.ops.traverse_sweep import (
+        MAX_SMEM_NODES, traverse_cluster_sweep)
 
     use_cluster = (scene.cluster is not None
                    and settings.traversal != "gather"
@@ -126,15 +128,31 @@ def _make_tracers(scene, settings: RenderSettings):
     if settings.traversal == "cluster" and scene.cluster is None:
         raise ValueError("settings.traversal='cluster' but the scene was "
                          "built without cluster tables (cluster_k=None)")
-    # The fused Pallas kernel is the fast path on real TPUs; the XLA
-    # cluster walk serves CPU (tests/sharding sim) and the BVH debug view
-    # (the kernel doesn't track visit counts — carry size limits).
-    use_pallas = (use_cluster
-                  and jax.default_backend() != "cpu"
-                  and not (settings.render_mode == RenderMode.DEBUG
-                           and settings.debug_mode in (DebugMode.BVH,
-                                                       DebugMode.WORLD_BVH)))
-    if use_pallas:
+    # Fused Pallas kernels are the fast path on real TPUs; the XLA
+    # cluster walk serves CPU (tests/sharding sim). Default kernel is
+    # the min-sweep (work ∝ nodes the tile's rays touch); the one-hot
+    # kernel covers node counts past the SMEM budget.
+    use_pallas = use_cluster and jax.default_backend() != "cpu"
+    use_sweep = use_pallas and scene.cluster.n_nodes <= MAX_SMEM_NODES
+    if use_sweep:
+        def closest(o, d):
+            return traverse_cluster_sweep(scene.cluster, o, d)
+
+        def anyhit(o, d):
+            r = traverse_cluster_sweep(scene.cluster, o, d, anyhit=True)
+            return r["hit_idx"] >= 0
+    elif use_pallas and (settings.render_mode == RenderMode.DEBUG
+                         and settings.debug_mode in (DebugMode.BVH,
+                                                     DebugMode.WORLD_BVH)):
+        # the one-hot kernel doesn't track visit counts (carry-size
+        # limits) — the BVH heat view falls back to the XLA walk
+        def closest(o, d):
+            return traverse_cluster(scene.cluster, o, d)
+
+        def anyhit(o, d):
+            r = traverse_cluster(scene.cluster, o, d, anyhit=True)
+            return r["hit_idx"] >= 0
+    elif use_pallas:
         def closest(o, d):
             return traverse_cluster_pallas(scene.cluster, o, d)
 
