@@ -108,6 +108,85 @@ def _albedo(scene, mats, uv, hits_tex_bilinear=False):
     return jnp.where((tex >= 0)[:, None], sampled, flat)
 
 
+def _alpha_retrace_tracers(scene, fast_closest, rounds: int):
+    """Alpha-cutout AnyHit (`AnyHit.cuh:8-28`) on the cluster fast path.
+
+    The Pallas/cluster kernels are alpha-blind (their tables carry only
+    geometry), so cutout is lifted to the wavefront level: trace, sample
+    the albedo-texture alpha at each hit, and RE-TRACE rays whose hit was
+    transparent from just past it. A `while_loop` exits as soon as every
+    ray has an opaque hit or a miss — typical alpha scenes settle in 1-2
+    rounds, so the fast kernel still wins over the gather walk by a wide
+    margin. Rays still unresolved after `rounds` re-traces count as
+    misses (bounded worst case; the reference's stack walk has no such
+    bound but also no guarantee against adversarial stacks of cutouts).
+    """
+    from dustraytracer_tpu.ops.traverse import _sample_alpha
+
+    def _alpha_at(o, d, hit_idx):
+        safe = jnp.maximum(hit_idx, 0)
+        v0 = scene.tri_pos[safe, 0]
+        v1 = scene.tri_pos[safe, 1]
+        v2 = scene.tri_pos[safe, 2]
+        _ok, _t, u, v = moller_trumbore(o, d, v0, v1, v2)
+        w = 1.0 - u - v
+        uv = (w[:, None] * scene.tri_uv[safe, 0]
+              + u[:, None] * scene.tri_uv[safe, 1]
+              + v[:, None] * scene.tri_uv[safe, 2])
+        tex = scene.mat_albedo_tex[scene.tri_mat[safe]]
+        return _sample_alpha(scene, tex, uv)
+
+    big = 3.4e38
+
+    def _loop(o, d):
+        n = o.shape[0]
+
+        def cond(carry):
+            rnd, _o, _off, _idx, _t, _vis, done = carry
+            return jnp.logical_and(rnd < rounds, ~jnp.all(done))
+
+        def body(carry):
+            rnd, cur_o, off, idx, tt, vis, done = carry
+            r = fast_closest(cur_o, d)
+            hit = r["hit_idx"] >= 0
+            alpha = _alpha_at(cur_o, d, r["hit_idx"])
+            accept = hit & (alpha >= 1.0)
+            live = ~done
+            take = live & accept
+            idx = jnp.where(take, r["hit_idx"], idx)
+            tt = jnp.where(take, off + r["t"], tt)
+            vis = vis + jnp.where(live, r["visits"], 0)
+            # restart transparent rays just past the rejected hit. The
+            # epsilon trades off two failure modes: too small re-hits
+            # the same triangle (harmless — the re-hit resolves to t≈0
+            # < MT's 1e-6 cutoff and is skipped next round), too large
+            # skips opaque geometry nearly coincident with the cutout
+            # (wrong hit). Keep it tight; exact coincidences remain
+            # traversal-order-defined, as in the reference.
+            adv = r["t"] * (1.0 + 1e-5) + 1e-5
+            transparent = live & hit & ~accept
+            cur_o = jnp.where(transparent[:, None],
+                              cur_o + d * adv[:, None], cur_o)
+            off = off + jnp.where(transparent, adv, 0.0)
+            done = done | (live & (accept | ~hit))
+            return rnd + 1, cur_o, off, idx, tt, vis, done
+
+        init = (jnp.int32(0), o, jnp.zeros((n,), jnp.float32),
+                jnp.full((n,), -1, jnp.int32), jnp.full((n,), big),
+                jnp.zeros((n,), jnp.int32), jnp.zeros((n,), bool))
+        _, _, _, idx, tt, vis, _ = jax.lax.while_loop(cond, body, init)
+        stop = jax.lax.stop_gradient
+        return {"hit_idx": stop(idx), "t": stop(tt), "visits": stop(vis)}
+
+    def closest(o, d):
+        return _loop(o, d)
+
+    def anyhit(o, d):
+        return _loop(o, d)["hit_idx"] >= 0
+
+    return closest, anyhit
+
+
 def _make_tracers(scene, settings: RenderSettings):
     """Pick the traversal backend (static decision, traced once).
 
@@ -123,8 +202,7 @@ def _make_tracers(scene, settings: RenderSettings):
         MAX_SMEM_NODES, traverse_cluster_sweep)
 
     use_cluster = (scene.cluster is not None
-                   and settings.traversal != "gather"
-                   and not settings.alpha_test)
+                   and settings.traversal != "gather")
     if settings.traversal == "cluster" and scene.cluster is None:
         raise ValueError("settings.traversal='cluster' but the scene was "
                          "built without cluster tables (cluster_k=None)")
@@ -174,6 +252,11 @@ def _make_tracers(scene, settings: RenderSettings):
         def anyhit(o, d):
             return traverse_anyhit(scene, o, d,
                                    alpha_test=settings.alpha_test)
+
+    if use_cluster and settings.alpha_test:
+        # cutout via re-trace keeps alpha scenes on the fast kernels
+        closest, anyhit = _alpha_retrace_tracers(
+            scene, closest, rounds=settings.alpha_rounds)
     return closest, anyhit
 
 

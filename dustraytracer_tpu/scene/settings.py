@@ -75,9 +75,11 @@ class RenderSettings:
     #   cluster = gather-free one-hot MXU walk (ops/traverse_cluster.py),
     #   gather = threaded per-lane gather walk (ops/traverse.py).
     #   auto picks cluster when the scene carries cluster tables and the
-    #   mode supports it (alpha_test and stale-geometry vertex
-    #   optimization need gather).
+    #   mode supports it (stale-geometry vertex optimization needs
+    #   gather; alpha_test stays on the fast kernels via re-tracing).
     alpha_test: bool = False        # alpha-cutout any-hit (AnyHit.cuh:8-28)
+    alpha_rounds: int = 8           # max re-traces past transparent hits
+    #   on the cluster fast path (stacked-cutout depth bound)
     russian_roulette: bool = False  # RR path termination (north-star item)
     rr_start_bounce: int = 2
     soft_edges: float = 0.0         # differentiable silhouettes: hits

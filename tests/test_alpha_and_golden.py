@@ -51,6 +51,34 @@ def test_alpha_test_changes_image(mc_scene):
     assert not np.array_equal(opaque, cut)
 
 
+def test_alpha_fast_path_matches_gather(mc_scene):
+    """The cluster fast path handles cutout by re-tracing past
+    transparent hits (integrator._alpha_retrace_tracers); it must render
+    the same image as the gather walk's in-traversal AnyHit filter."""
+    lo = np.asarray(mc_scene.node_min[0])
+    hi = np.asarray(mc_scene.node_max[0])
+    center = (lo + hi) / 2
+    size = float(np.linalg.norm(hi - lo))
+    cam = make_camera(position=center + np.array([0, 0.15 * size, 0.8 * size]),
+                      look_at=center, vfov_deg=55.0)
+    base = RenderSettings(bounces=2, enable_tonemap=False,
+                          enable_gamma=False, alpha_test=True)
+    lights = LightParams.from_settings(base)
+    fast = np.asarray(render_sample(
+        mc_scene, cam, lights, jnp.uint32(0), width=64, height=64,
+        settings=base.replace(traversal="cluster")))
+    gather = np.asarray(render_sample(
+        mc_scene, cam, lights, jnp.uint32(0), width=64, height=64,
+        settings=base.replace(traversal="gather")))
+    # identical RNG -> identical decisions except where cutout and
+    # opaque geometry (near-)coincide, where the winner is traversal-
+    # order-defined (same as the reference's stack order): allow a tiny
+    # fraction of differing pixels, not none
+    diff = np.abs(fast - gather).max(axis=-1)
+    assert (diff > 1e-3).mean() < 0.005
+    assert np.isfinite(fast).all()
+
+
 def test_alpha_anyhit_direct():
     """Unit-level: a ray through a fully-transparent texel region is not
     occluded; through an opaque texel it is."""
