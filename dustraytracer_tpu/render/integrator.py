@@ -187,6 +187,56 @@ def _alpha_retrace_tracers(scene, fast_closest, rounds: int):
     return closest, anyhit
 
 
+def _sorted_tracers(scene, closest, anyhit):
+    """Ray sorting: traverse in (direction-octant, origin-Morton) order.
+
+    The sweep kernel's per-tile cost is the union of BVH nodes its 512
+    lanes touch, so incoherent bounce rays are its worst case. Sorting
+    rays before traversal packs similar rays into the same tile (the
+    wavefront analog of the GPU's warp-coherence from spatial locality);
+    results are scattered back to ray order, so this wrapper is
+    invisible to callers. Key = 3-bit octant + 15-bit Morton code of the
+    origin in scene-bbox coordinates.
+    """
+    lo = scene.node_min[0]
+    inv_ext = 1.0 / jnp.maximum(scene.node_max[0] - lo, 1e-12)
+
+    def _spread3(x):  # low 10 bits -> every 3rd bit (Morton interleave)
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    def _key(o, d):
+        octant = ((d[:, 0] < 0).astype(jnp.int32) * 4
+                  + (d[:, 1] < 0).astype(jnp.int32) * 2
+                  + (d[:, 2] < 0).astype(jnp.int32))
+        q = jnp.clip((o - lo) * inv_ext, 0.0, 1.0)
+        q = (q * 31.0).astype(jnp.int32)  # 5 bits per axis
+        morton = (_spread3(q[:, 0]) * 4 + _spread3(q[:, 1]) * 2
+                  + _spread3(q[:, 2]))
+        return octant * (1 << 15) + morton
+
+    def _permute(o, d):
+        key = jax.lax.stop_gradient(_key(o, d))
+        perm = jnp.argsort(key)
+        inv = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(perm.shape[0], dtype=perm.dtype))
+        return perm, inv
+
+    def closest_sorted(o, d):
+        perm, inv = _permute(o, d)
+        r = closest(o[perm], d[perm])
+        return {k: v[inv] for k, v in r.items()}
+
+    def anyhit_sorted(o, d):
+        perm, inv = _permute(o, d)
+        return anyhit(o[perm], d[perm])[inv]
+
+    return closest_sorted, anyhit_sorted
+
+
 def _make_tracers(scene, settings: RenderSettings):
     """Pick the traversal backend (static decision, traced once).
 
@@ -253,8 +303,14 @@ def _make_tracers(scene, settings: RenderSettings):
             return traverse_anyhit(scene, o, d,
                                    alpha_test=settings.alpha_test)
 
+    sort = settings.ray_sort == "on" or (
+        settings.ray_sort == "auto" and use_pallas
+        and scene.cluster.n_nodes >= 128)
+    if sort:
+        closest, anyhit = _sorted_tracers(scene, closest, anyhit)
     if use_cluster and settings.alpha_test:
         # cutout via re-trace keeps alpha scenes on the fast kernels
+        # (each re-trace round re-sorts, which only helps)
         closest, anyhit = _alpha_retrace_tracers(
             scene, closest, rounds=settings.alpha_rounds)
     return closest, anyhit

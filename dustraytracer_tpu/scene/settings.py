@@ -80,6 +80,9 @@ class RenderSettings:
     alpha_test: bool = False        # alpha-cutout any-hit (AnyHit.cuh:8-28)
     alpha_rounds: int = 8           # max re-traces past transparent hits
     #   on the cluster fast path (stacked-cutout depth bound)
+    ray_sort: str = "auto"          # "auto" | "on" | "off": sort rays by
+    #   (direction octant, origin Morton) before traversal so bounce rays
+    #   land in coherent kernel tiles; auto = fast path + dense scene
     russian_roulette: bool = False  # RR path termination (north-star item)
     rr_start_bounce: int = 2
     soft_edges: float = 0.0         # differentiable silhouettes: hits

@@ -73,6 +73,28 @@ def test_sweep_analytic_hit_and_visits():
     assert int(res["visits"][0]) >= 1  # BVH heat view needs real counts
 
 
+def test_ray_sort_is_invisible(soup):
+    """_sorted_tracers must return results in original ray order."""
+    from dustraytracer_tpu.render.integrator import _sorted_tracers
+    scene, cb = soup
+    o, d = _rays(777, 5)
+
+    def closest(oo, dd):
+        return traverse_cluster(cb, oo, dd)
+
+    def anyhit(oo, dd):
+        return traverse_cluster(cb, oo, dd, anyhit=True)["hit_idx"] >= 0
+
+    sc, sa = _sorted_tracers(scene, closest, anyhit)
+    plain, srt = closest(o, d), sc(o, d)
+    np.testing.assert_array_equal(np.asarray(plain["hit_idx"]),
+                                  np.asarray(srt["hit_idx"]))
+    np.testing.assert_allclose(np.asarray(plain["t"]),
+                               np.asarray(srt["t"]))
+    np.testing.assert_array_equal(np.asarray(anyhit(o, d)),
+                                  np.asarray(sa(o, d)))
+
+
 def test_sweep_zero_gradient_contract(soup):
     _, cb = soup
     o, d = _rays(64, 3)
