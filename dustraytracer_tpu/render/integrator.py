@@ -43,7 +43,58 @@ from dustraytracer_tpu.scene.settings import (DebugMode, LightParams,
                                               RenderMode, RenderSettings)
 
 
-def shade_hits(scene, origin, direction, hit_idx):
+def _onehot_rows(idx, table):
+    """Gather-free row fetch: onehot(idx) @ table on the MXU.
+
+    TPU has no hardware gather — XLA serializes `table[idx]` into HBM
+    loads (~5.5 ms for 262k rows on v5e), while the equivalent one-hot
+    contraction runs in <1 ms. Precision HIGHEST so selecting f32 values
+    by a 0/1 matrix is exact (default bf16 truncation would corrupt
+    vertex positions). Differentiable in `table` (the transpose is a
+    scatter-add matmul — this is how vertex gradients accumulate).
+    """
+    ids = jax.lax.broadcasted_iota(jnp.int32,
+                                   (idx.shape[0], table.shape[0]), 1)
+    oh = (ids == idx[:, None]).astype(jnp.float32)
+    return jnp.dot(oh, table, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+
+
+def _resolve_fetch(scene, settings) -> str:
+    """Static choice of shading attribute fetch: one-hot matmul vs gather.
+
+    One-hot work grows linearly in triangle count; per-lane gathers are
+    ~flat. On v5e the crossover sits in the tens of thousands of rows, so
+    one-hot wins for every bundled scene — the cap is a safety valve for
+    huge soups. CPU (tests, sharding sim) keeps native gathers.
+    """
+    if settings.shade_fetch != "auto":
+        return settings.shade_fetch
+    if jax.default_backend() == "cpu":
+        return "gather"
+    return "onehot" if scene.tri_pos.shape[0] <= 16384 else "gather"
+
+
+def _fetch_material(scene, mats, fetch: str):
+    """Per-ray material attributes (albedo, tex id, emissive, metallic,
+    roughness) in one fused fetch (one one-hot matmul or 5 gathers)."""
+    if fetch == "onehot":
+        tab = jnp.concatenate(
+            [scene.mat_albedo, scene.mat_emissive,
+             scene.mat_metallic[:, None], scene.mat_roughness[:, None],
+             scene.mat_albedo_tex.astype(jnp.float32)[:, None]], axis=1)
+        rows = _onehot_rows(mats, tab)
+        return {"albedo": rows[:, 0:3], "emissive": rows[:, 3:6],
+                "metallic": rows[:, 6], "roughness": rows[:, 7],
+                "tex": rows[:, 8].astype(jnp.int32)}
+    return {"albedo": scene.mat_albedo[mats],
+            "emissive": scene.mat_emissive[mats],
+            "metallic": scene.mat_metallic[mats],
+            "roughness": scene.mat_roughness[mats],
+            "tex": scene.mat_albedo_tex[mats]}
+
+
+def shade_hits(scene, origin, direction, hit_idx, fetch: str = "gather"):
     """Differentiable hit attributes from discrete hit ids.
 
     Recomputes the Möller–Trumbore solution for the *selected* triangle so
@@ -51,11 +102,32 @@ def shade_hits(scene, origin, direction, hit_idx):
     rays, while the selection itself stays discrete. Returns a dict with
     world_position, normal (geometric, viewer-facing — `ClosestHit.cuh:
     17-25`), shading uv, barycentrics, material id, front_face.
+
+    fetch="onehot" replaces the 6 per-lane gathers with ONE one-hot
+    matmul over a fused (T, 21) attribute table (see _onehot_rows).
     """
     safe = jnp.maximum(hit_idx, 0)
-    v0 = scene.tri_pos[safe, 0]
-    v1 = scene.tri_pos[safe, 1]
-    v2 = scene.tri_pos[safe, 2]
+    if fetch == "onehot":
+        t_n = scene.tri_pos.shape[0]
+        tab = jnp.concatenate(
+            [scene.tri_pos.reshape(t_n, 9),
+             scene.tri_face_nrm,
+             scene.tri_uv.reshape(t_n, 6),
+             scene.tri_mat.astype(jnp.float32)[:, None]], axis=1)
+        rows = _onehot_rows(safe, tab)
+        v0, v1, v2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+        face_nrm = rows[:, 9:12]
+        uv0, uv1, uv2 = rows[:, 12:14], rows[:, 14:16], rows[:, 16:18]
+        mat = rows[:, 18].astype(jnp.int32)
+    else:
+        v0 = scene.tri_pos[safe, 0]
+        v1 = scene.tri_pos[safe, 1]
+        v2 = scene.tri_pos[safe, 2]
+        face_nrm = scene.tri_face_nrm[safe]
+        uv0 = scene.tri_uv[safe, 0]
+        uv1 = scene.tri_uv[safe, 1]
+        uv2 = scene.tri_uv[safe, 2]
+        mat = scene.tri_mat[safe]
     _valid, t, u, v = moller_trumbore(origin, direction, v0, v1, v2)
     # Sanitize miss lanes: their MT solution is garbage (possibly ±inf),
     # and infinities poison gradients even through masked-out branches
@@ -75,20 +147,17 @@ def shade_hits(scene, origin, direction, hit_idx):
     raw_n = jnp.cross(v1 - v0, v2 - v0)
     raw_n = raw_n / jnp.maximum(
         jnp.linalg.norm(raw_n, axis=-1, keepdims=True), 1e-20)
-    orient = jnp.sum(jax.lax.stop_gradient(raw_n) * scene.tri_face_nrm[safe],
-                     axis=-1)
+    orient = jnp.sum(jax.lax.stop_gradient(raw_n) * face_nrm, axis=-1)
     face_n = raw_n * jax.lax.stop_gradient(jnp.sign(orient))[:, None]
     d_norm = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
     front = jnp.sum(face_n * d_norm, axis=-1) <= 0.0
     normal = jnp.where(front[:, None], face_n, -face_n)
 
-    uv = (w[:, None] * scene.tri_uv[safe, 0]
-          + u[:, None] * scene.tri_uv[safe, 1]
-          + v[:, None] * scene.tri_uv[safe, 2])
+    uv = w[:, None] * uv0 + u[:, None] * uv1 + v[:, None] * uv2
     return {
         "t": t, "bary": jnp.stack([w, u, v], axis=-1),
         "world_position": world_pos, "normal": normal, "uv": uv,
-        "material": scene.tri_mat[safe], "front_face": front,
+        "material": mat, "front_face": front,
     }
 
 
@@ -101,9 +170,9 @@ def _sky(direction, lights: LightParams):
     return col * col
 
 
-def _albedo(scene, mats, uv, hits_tex_bilinear=False):
-    tex = scene.mat_albedo_tex[mats]
-    flat = scene.mat_albedo[mats]
+def _albedo(scene, mat_attrs, uv, hits_tex_bilinear=False):
+    tex = mat_attrs["tex"]
+    flat = mat_attrs["albedo"]
     sampled = sample_texture(scene, tex, uv, bilinear=hits_tex_bilinear)
     return jnp.where((tex >= 0)[:, None], sampled, flat)
 
@@ -246,6 +315,7 @@ def _make_tracers(scene, settings: RenderSettings):
     carry, and vertex optimization mutates tri_pos which would go stale
     vs the baked cluster tables).
     """
+    from dustraytracer_tpu.ops.traverse_brute import traverse_brute
     from dustraytracer_tpu.ops.traverse_cluster import traverse_cluster
     from dustraytracer_tpu.ops.traverse_pallas import traverse_cluster_pallas
     from dustraytracer_tpu.ops.traverse_sweep import (
@@ -253,16 +323,34 @@ def _make_tracers(scene, settings: RenderSettings):
 
     use_cluster = (scene.cluster is not None
                    and settings.traversal != "gather")
-    if settings.traversal == "cluster" and scene.cluster is None:
-        raise ValueError("settings.traversal='cluster' but the scene was "
-                         "built without cluster tables (cluster_k=None)")
+    if settings.traversal in ("cluster", "brute") and scene.cluster is None:
+        raise ValueError(f"settings.traversal={settings.traversal!r} but the "
+                         "scene was built without cluster tables "
+                         "(cluster_k=None)")
+    # Tiny scenes: skip the BVH entirely — all-pairs brute force is one
+    # fused XLA loop with none of the walk kernels' per-tile dispatch
+    # overhead (ops/traverse_brute.py). n_clusters*k upper-bounds the
+    # real triangle count and is static.
+    use_brute = use_cluster and (
+        settings.traversal == "brute"
+        or (settings.traversal == "auto"
+            and scene.cluster.n_clusters * scene.cluster.k
+            <= settings.brute_max_tris))
     # Fused Pallas kernels are the fast path on real TPUs; the XLA
     # cluster walk serves CPU (tests/sharding sim). Default kernel is
     # the min-sweep (work ∝ nodes the tile's rays touch); the one-hot
     # kernel covers node counts past the SMEM budget.
-    use_pallas = use_cluster and jax.default_backend() != "cpu"
+    use_pallas = (use_cluster and not use_brute
+                  and jax.default_backend() != "cpu")
     use_sweep = use_pallas and scene.cluster.n_nodes <= MAX_SMEM_NODES
-    if use_sweep:
+    if use_brute:
+        def closest(o, d):
+            return traverse_brute(scene.cluster, o, d)
+
+        def anyhit(o, d):
+            return traverse_brute(scene.cluster, o, d,
+                                  anyhit=True)["hit_idx"] >= 0
+    elif use_sweep:
         def closest(o, d):
             return traverse_cluster_sweep(scene.cluster, o, d)
 
@@ -334,6 +422,7 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
     """
     origin, direction, throughput, light, alive, rng = carry
     tracing = traced is None
+    fetch = _resolve_fetch(scene, settings)
     sun_pos = lights.sun_position()
     sun_col = lights.sun_color * lights.sun_intensity
 
@@ -351,7 +440,8 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
     light = light + jnp.where(add_sky[:, None],
                               throughput * sky * lights.sky_intensity, 0.0)
 
-    sh = shade_hits(scene, origin, direction, hit_idx)
+    sh = shade_hits(scene, origin, direction, hit_idx, fetch)
+    matd = _fetch_material(scene, sh["material"], fetch)
     live_hit = alive & ~miss
 
     # --- soft-edge visibility (boundary-term gradients) ---
@@ -384,11 +474,11 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
     # --- emission (PBR mode; the reference parses EmissiveFactor but
     #     never shades it, Material.cuh:10-22) ---
     if settings.shading == "pbr":
-        emis = scene.mat_emissive[sh["material"]]
+        emis = matd["emissive"]
         light = light + jnp.where(live_hit[:, None], throughput * emis, 0.0)
 
     # --- surface throughput (RayGen.cuh:110-118) ---
-    alb = _albedo(scene, sh["material"], sh["uv"])
+    alb = _albedo(scene, matd, sh["uv"])
     throughput = jnp.where(live_hit[:, None], throughput * alb, throughput)
 
     new_origin = sh["world_position"] + sh["normal"] * 1e-3
@@ -443,8 +533,8 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
         # identical across trace/shade phases since both see the same
         # params and RNG stream)
         rng, u_lobe = random_float(rng)
-        metallic = scene.mat_metallic[sh["material"]]
-        roughness = scene.mat_roughness[sh["material"]]
+        metallic = matd["metallic"]
+        roughness = matd["roughness"]
         d_n = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
         refl = d_n - 2.0 * jnp.sum(d_n * sh["normal"], axis=-1,
                                    keepdims=True) * sh["normal"]
@@ -489,8 +579,10 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
         res = trace_closest(origin, direction)
         hit_idx = res["hit_idx"]
         live_hit = alive & (hit_idx >= 0)
-        sh = shade_hits(scene, origin, direction, hit_idx)
-        alb = _albedo(scene, sh["material"], sh["uv"])
+        fetch = _resolve_fetch(scene, settings)
+        sh = shade_hits(scene, origin, direction, hit_idx, fetch)
+        alb = _albedo(scene, _fetch_material(scene, sh["material"], fetch),
+                      sh["uv"])
         throughput = jnp.where(live_hit[:, None], throughput * alb, throughput)
         sky = _sky(direction, lights)
         light = light + jnp.where((~live_hit)[:, None],

@@ -71,12 +71,22 @@ class RenderSettings:
     #   metallic/roughness/emissive parsed but unused, Material.cuh:10-22)
     #   pbr = emissive emission + metallic specular lobe with roughness
     #   fuzz (north-star "full PBR materials" / EmissiveTest.glb)
-    traversal: str = "auto"         # "auto" | "cluster" | "gather":
+    traversal: str = "auto"         # "auto" | "cluster" | "gather" | "brute":
     #   cluster = gather-free one-hot MXU walk (ops/traverse_cluster.py),
-    #   gather = threaded per-lane gather walk (ops/traverse.py).
-    #   auto picks cluster when the scene carries cluster tables and the
-    #   mode supports it (stale-geometry vertex optimization needs
-    #   gather; alpha_test stays on the fast kernels via re-tracing).
+    #   gather = threaded per-lane gather walk (ops/traverse.py),
+    #   brute = all-pairs, no BVH (ops/traverse_brute.py).
+    #   auto picks brute for tiny scenes (<= brute_max_tris), else cluster
+    #   when the scene carries cluster tables and the mode supports it
+    #   (stale-geometry vertex optimization needs gather; alpha_test stays
+    #   on the fast kernels via re-tracing).
+    brute_max_tris: int = 512       # "auto" crossover: scenes at or below
+    #   this many (padded) triangles skip the BVH — walk-kernel dispatch
+    #   overhead exceeds the cost of just testing everything
+    shade_fetch: str = "auto"       # "auto" | "onehot" | "gather": how the
+    #   shading phase fetches per-hit triangle/material attributes.
+    #   onehot = one fused one-hot matmul per table (MXU; TPU has no
+    #   hardware gather so this is ~6x faster at bundled-scene sizes),
+    #   gather = native table[idx]. auto = onehot on TPU up to 16k tris.
     alpha_test: bool = False        # alpha-cutout any-hit (AnyHit.cuh:8-28)
     alpha_rounds: int = 8           # max re-traces past transparent hits
     #   on the cluster fast path (stacked-cutout depth bound)
