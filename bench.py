@@ -28,7 +28,7 @@ BASELINE_RAYS_PER_SEC = 448303.1
 
 WIDTH = HEIGHT = 256
 BOUNCES = 2
-SPP_TIMED = 4
+SPP_TIMED = 16
 
 
 def main():
@@ -62,6 +62,9 @@ def main():
 
     out = step(scene.mat_albedo, scene.mat_emissive, lights, jnp.uint32(0))
     jax.block_until_ready(out)  # compile
+    warm = [step(scene.mat_albedo, scene.mat_emissive, lights,
+                 jnp.uint32(90 + f)) for f in range(4)]
+    jax.block_until_ready(warm)  # steady state (first dispatches ramp)
 
     # pipeline all timed dispatches, sync once: per-dispatch host
     # round-trips over the axon tunnel would otherwise dominate
