@@ -47,6 +47,9 @@ def build_parser():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default="optimize_out")
     p.add_argument("--checkpoint-every", type=int, default=50)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from {out}/ckpt if present (params + "
+                   "optimizer state + step)")
     p.add_argument("--stochastic", action="store_true",
                    help="vary the RNG frame per step (noisy loss); default "
                    "keeps the sample deterministic, which converges faster "
@@ -144,6 +147,18 @@ def main(argv=None) -> int:
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
 
+    # --- resume (params + optimizer state + step) ---
+    start_step = 0
+    if args.resume:
+        from dustraytracer_tpu.utils.checkpoint import load_train_state
+
+        restored = load_train_state(f"{args.out}/ckpt", params, opt_state)
+        if restored is not None:
+            params, r_opt, start_step = restored
+            if r_opt is not None:
+                opt_state = r_opt
+            print(f"resumed from step {start_step}", file=sys.stderr)
+
     n = w * h
     pixel_ids_full = jnp.arange(n, dtype=jnp.int32)
     target_flat = target.reshape(n, 3)
@@ -168,7 +183,7 @@ def main(argv=None) -> int:
 
     history = []
     t0 = time.perf_counter()
-    for step in range(args.steps):
+    for step in range(start_step, args.steps):
         frame = step % 64 if args.stochastic else 0
         params, opt_state, loss = train_step(params, opt_state,
                                              jnp.uint32(frame))
@@ -179,14 +194,16 @@ def main(argv=None) -> int:
             print(f"step {step:5d}  loss {l:.6f}", file=sys.stderr)
         if args.checkpoint_every and step and step % args.checkpoint_every == 0:
             from dustraytracer_tpu.utils.checkpoint import save_train_state
-            save_train_state(f"{args.out}/ckpt", params, step=step)
+            save_train_state(f"{args.out}/ckpt", params, opt_state,
+                             step=step)
 
     # --- report ---
     sc, c, li = apply_params(scene, cam, lights, params)
     final = render_sample(sc, c, li, jnp.uint32(9999),
                           width=w, height=h, settings=settings)
     save_png(f"{args.out}/final.png", np.clip(np.asarray(final), 0, 1))
-    result = {"history": history, "final_loss": history[-1]["loss"]}
+    result = {"history": history,
+              "final_loss": history[-1]["loss"] if history else None}
     if args.self_test:
         errs = {}
         for name in args.optimize:

@@ -18,6 +18,20 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+
+def varying_zero(ref):
+    """(N,) f32 zero derived from `ref` (N, ...), carrying ref's vma type.
+
+    Loop carries initialized from literal constants are *unvarying* under
+    shard_map's varying-manual-axes checker, while the loop body computes
+    varying values from the (sharded) rays — a type mismatch. Adding this
+    zero to each initial carry component makes the init varying without
+    changing any value, so shard_map runs with full vma checking
+    (parallel/shard.py) instead of check_vma=False.
+    """
+    return jnp.zeros_like(ref[..., 0], dtype=jnp.float32)
+
+
 TRIANGLE_EPSILON = 1e-6  # reference: physical_units.hpp:6-12
 
 

@@ -41,7 +41,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from dustraytracer_tpu.ops.intersect import moller_trumbore, ray_aabb_entry
+from dustraytracer_tpu.ops.intersect import (moller_trumbore, ray_aabb_entry,
+                                             varying_zero)
 from dustraytracer_tpu.scene.scene import MAX_LEAF
 
 BIG = 3.4e38  # python float, NOT jnp: captured jnp arrays become hoisted
@@ -119,13 +120,14 @@ def traverse_closest(scene, origin, direction, *, alpha_test: bool = False):
     BIG on miss), `visits` (i32 node-visit heat, `BVHTraversal.cuh:43`).
     All returned values are wrapped in stop_gradient.
     """
-    n = origin.shape[0]
     inv_dir = 1.0 / direction  # inf on zero components is slab-guarded
 
-    node = jnp.zeros((n,), jnp.int32)  # start at root (pre-order 0)
-    hit_t = jnp.full((n,), BIG)
-    hit_idx = jnp.full((n,), -1, jnp.int32)
-    visits = jnp.zeros((n,), jnp.int32)
+    vz = varying_zero(origin)  # vma-consistent carry init under shard_map
+    vzi = vz.astype(jnp.int32)
+    node = vzi  # start at root (pre-order 0)
+    hit_t = BIG + vz
+    hit_idx = vzi - 1
+    visits = vzi
 
     def cond(carry):
         node, *_ = carry
@@ -172,10 +174,11 @@ def traverse_anyhit(scene, origin, direction, *, alpha_test: bool = False,
     """
     n = origin.shape[0]
     inv_dir = 1.0 / direction
-    limit = jnp.broadcast_to(BIG if t_max is None else t_max, (n,))
+    vz = varying_zero(origin)  # vma-consistent carry init under shard_map
+    limit = jnp.broadcast_to(BIG if t_max is None else t_max, (n,)) + vz
 
-    node = jnp.zeros((n,), jnp.int32)
-    occluded = jnp.zeros((n,), bool)
+    node = vz.astype(jnp.int32)
+    occluded = vz != 0.0
 
     def cond(carry):
         node, occ = carry

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from dustraytracer_tpu.accel.cluster import ClusterBvh
-from dustraytracer_tpu.ops.intersect import TRIANGLE_EPSILON
+from dustraytracer_tpu.ops.intersect import TRIANGLE_EPSILON, varying_zero
 
 BIG = 3.4e38  # python float, NOT jnp: captured jnp arrays become hoisted
 # constants that the jit fastpath mishandles (buffer-count crashes)
@@ -72,7 +72,10 @@ def _traverse_tile(cb: ClusterBvh, origin, direction, anyhit: bool,
     c = cb.v0.shape[0]
     k = cb.k
     inv_dir = 1.0 / direction
-    limit = jnp.broadcast_to(BIG if t_limit is None else t_limit, (tsize,))
+    vz = varying_zero(origin)  # vma-consistent carry init under shard_map
+    vzi = vz.astype(jnp.int32)
+    limit = jnp.broadcast_to(BIG if t_limit is None else t_limit,
+                             (tsize,)) + vz
 
     node_tab = jnp.concatenate(
         [cb.node_min, cb.node_max,
@@ -82,10 +85,10 @@ def _traverse_tile(cb: ClusterBvh, origin, direction, anyhit: bool,
         [cb.v0.reshape(c, k * 3), cb.e1.reshape(c, k * 3),
          cb.e2.reshape(c, k * 3)], axis=1)  # (C, 9K)
 
-    node = jnp.zeros((tsize,), jnp.int32)
+    node = vzi
     hit_t = limit
-    hit_idx = jnp.full((tsize,), -1, jnp.int32)
-    visits = jnp.zeros((tsize,), jnp.int32)
+    hit_idx = vzi - 1
+    visits = vzi
 
     def cond(carry):
         node, _t, _i, _v, done = carry
@@ -157,7 +160,7 @@ def _traverse_tile(cb: ClusterBvh, origin, direction, anyhit: bool,
         node = jnp.where(active, nxt, node)
         return node, hit_t, hit_idx, visits, done
 
-    done0 = jnp.zeros((tsize,), bool)
+    done0 = vz != 0.0
     _, hit_t, hit_idx, visits, _ = jax.lax.while_loop(
         cond, body, (node, hit_t, hit_idx, visits, done0))
     return hit_t, hit_idx, visits

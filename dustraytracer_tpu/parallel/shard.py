@@ -17,10 +17,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-# check_vma=False: the traversal while_loop initializes its carry from
-# unvarying constants; the varying-manual-axes checker would reject the
-# (correct) carry type promotion.
-shard_map = partial(jax.shard_map, check_vma=False)
+# Full vma checking stays ON: every loop carry in the render path derives
+# its initial constants from the (sharded) rays (ops/intersect.py::
+# varying_zero), so the varying-manual-axes checker accepts the scans and
+# while_loops and will catch real sharding bugs.
+shard_map = jax.shard_map
 
 from dustraytracer_tpu.parallel.mesh import TILE_AXIS
 from dustraytracer_tpu.render.integrator import render_pixels
@@ -103,7 +104,10 @@ def sharded_train_step(params: dict, scene, camera, lights, target,
     def _grad_tile(params, ids, tgt):
         loss, grads = jax.value_and_grad(local_loss)(params, ids, tgt)
         loss = jax.lax.psum(loss, TILE_AXIS)
-        grads = jax.lax.psum(grads, TILE_AXIS)
+        # grads need NO explicit psum: with vma checking on, params enter
+        # unvarying (replicated) and AD transposes the unvarying->varying
+        # broadcast into the all-reduce automatically — an explicit psum
+        # here would 8x-count gradients (verified empirically).
         return loss, grads
 
     loss, grads = _grad_tile(params, pixel_ids, target_flat)

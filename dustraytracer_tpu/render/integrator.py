@@ -32,7 +32,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from dustraytracer_tpu.ops.intersect import moller_trumbore
+from dustraytracer_tpu.ops.intersect import moller_trumbore, varying_zero
 from dustraytracer_tpu.ops.rng import (random_float, random_in_ball,
                                        random_unit_vec3, seed_pixels)
 from dustraytracer_tpu.ops.tonemap import gamma_correct, uncharted2_filmic
@@ -208,8 +208,6 @@ def _alpha_retrace_tracers(scene, fast_closest, rounds: int):
     big = 3.4e38
 
     def _loop(o, d):
-        n = o.shape[0]
-
         def cond(carry):
             rnd, _o, _off, _idx, _t, _vis, done = carry
             return jnp.logical_and(rnd < rounds, ~jnp.all(done))
@@ -240,9 +238,11 @@ def _alpha_retrace_tracers(scene, fast_closest, rounds: int):
             done = done | (live & (accept | ~hit))
             return rnd + 1, cur_o, off, idx, tt, vis, done
 
-        init = (jnp.int32(0), o, jnp.zeros((n,), jnp.float32),
-                jnp.full((n,), -1, jnp.int32), jnp.full((n,), big),
-                jnp.zeros((n,), jnp.int32), jnp.zeros((n,), bool))
+        vz = varying_zero(o)  # vma-consistent carry init under shard_map
+        vzi = vz.astype(jnp.int32)
+        init = (jnp.int32(0), o, vz,
+                vzi - 1, big + vz,
+                vzi, vz != 0.0)
         _, _, _, idx, tt, vis, _ = jax.lax.while_loop(cond, body, init)
         stop = jax.lax.stop_gradient
         return {"hit_idx": stop(idx), "t": stop(tt), "visits": stop(vis)}
@@ -566,9 +566,13 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
         rng = seed_pixels(pixel_ids.astype(jnp.uint32), frame_idx)
         rng, origin, direction = generate_rays(cam, width, height, rng,
                                                pixel_ids=pixel_ids)
-        light = jnp.zeros((n, 3))
-        throughput = jnp.ones((n, 3))
-        alive = jnp.ones((n,), bool)
+        # carry constants derive from the (possibly sharded) rays so the
+        # scan carry is vma-consistent under shard_map (ops/intersect.py::
+        # varying_zero)
+        vz = varying_zero(origin)
+        light = jnp.zeros((n, 3)) + vz[:, None]
+        throughput = jnp.ones((n, 3)) + vz[:, None]
+        alive = vz == 0.0
         return (origin, direction, throughput, light, alive, rng)
 
     if debug:

@@ -88,19 +88,30 @@ class Scene:
     n_materials: int = field(metadata=dict(static=True), default=0)
     n_textures: int = field(metadata=dict(static=True), default=0)
     bvh_depth: int = field(metadata=dict(static=True), default=0)
+    # per-mesh breakdown for the editor stats panel (objects/mesh names,
+    # `EditorLayer.cpp:59-67`); tuples so the pytree aux stays hashable
+    mesh_names: tuple = field(metadata=dict(static=True), default=())
+    mesh_tri_counts: tuple = field(metadata=dict(static=True), default=())
 
     def replace(self, **kw) -> "Scene":
         return dataclasses.replace(self, **kw)
 
     @property
     def stats(self) -> dict:
-        """Scene statistics panel parity (`EditorLayer.cpp:59-67,167-199`)."""
+        """Scene statistics panel parity (`EditorLayer.cpp:59-67,167-199`):
+        triangle/object/material/texture counts plus the per-mesh table the
+        reference shows in its Objects panel."""
         return {
             "triangles": self.n_tris,
+            "objects": len(self.mesh_names),
             "bvh_nodes": self.n_nodes,
             "bvh_depth": self.bvh_depth,
             "materials": self.n_materials,
             "textures": self.n_textures,
+            "meshes": [
+                {"name": nm, "triangles": ct}
+                for nm, ct in zip(self.mesh_names, self.mesh_tri_counts)
+            ],
         }
 
 
@@ -130,6 +141,10 @@ def build_scene(doc: GltfDocument, leaf_target: int = MAX_LEAF,
     prims = doc.primitives
     if not prims:
         raise ValueError("scene has no triangle primitives")
+    mesh_names = tuple(name for name, _ in doc.meshes)
+    mesh_tri_counts = tuple(
+        int(sum(p.positions.shape[0] for p in mesh_prims))
+        for _, mesh_prims in doc.meshes)
 
     pos = np.concatenate([p.positions for p in prims], axis=0)
     nrm = np.concatenate([p.normals for p in prims], axis=0)
@@ -233,6 +248,8 @@ def build_scene(doc: GltfDocument, leaf_target: int = MAX_LEAF,
         n_materials=len(mats),
         n_textures=len(images),
         bvh_depth=int(bvh.depth),
+        mesh_names=mesh_names,
+        mesh_tri_counts=mesh_tri_counts,
     )
 
 

@@ -37,26 +37,41 @@ def load_film(path, width: int, height: int):
 
 
 def save_train_state(path, params, opt_state=None, step: int = 0) -> None:
-    """Persist inverse-rendering state (params + optional optax state)
-    with orbax; falls back to npz-of-leaves when orbax is unavailable."""
+    """Persist inverse-rendering state (params + optax optimizer state)
+    with orbax; falls back to npz-of-leaves when orbax is unavailable.
+    The round-trip partner is `load_train_state`; `optimize.py --resume`
+    uses the pair to survive kills mid-run."""
     import jax
 
     try:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"params": params, "step": step},
-                   force=True)
+        state = {"params": params, "step": step}
+        if opt_state is not None:
+            state["opt_state"] = opt_state
+        ckptr.save(path, state, force=True)
         ckptr.wait_until_finished()
     except Exception:
-        leaves, treedef = jax.tree.flatten(params)
-        np.savez_compressed(
-            str(path) + ".npz", step=step,
-            **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)})
+        arrays = {"step": step}
+        p_leaves = jax.tree.flatten(params)[0]
+        arrays.update({f"p{i}": np.asarray(l)
+                       for i, l in enumerate(p_leaves)})
+        if opt_state is not None:
+            o_leaves = jax.tree.flatten(opt_state)[0]
+            arrays.update({f"o{i}": np.asarray(l)
+                           for i, l in enumerate(o_leaves)})
+        np.savez_compressed(str(path) + ".npz", **arrays)
 
 
-def load_train_state(path, example_params):
-    """Restore params saved by save_train_state; None if absent."""
+def load_train_state(path, example_params, example_opt_state=None):
+    """Restore (params, opt_state, step) saved by save_train_state.
+
+    `example_*` provide the pytree structure (orbax and the npz fallback
+    both store flat leaves). Returns None when no checkpoint exists;
+    opt_state in the result is None when it was not saved or no example
+    structure was given.
+    """
     import os
 
     import jax
@@ -67,17 +82,26 @@ def load_train_state(path, example_params):
 
         if os.path.exists(path):
             ckptr = ocp.StandardCheckpointer()
-            restored = ckptr.restore(
-                path, {"params": example_params, "step": 0})
-            return restored["params"], int(restored["step"])
+            example = {"params": example_params, "step": 0}
+            if example_opt_state is not None:
+                example["opt_state"] = example_opt_state
+            restored = ckptr.restore(path, example)
+            return (restored["params"], restored.get("opt_state"),
+                    int(restored["step"]))
     except Exception:
         pass
     npz = str(path) + ".npz"
     if os.path.exists(npz):
-        leaves, treedef = jax.tree.flatten(example_params)
         with np.load(npz) as z:
-            new_leaves = [jnp.asarray(z[f"leaf{i}"])
-                          for i in range(len(leaves))]
+            p_leaves, p_def = jax.tree.flatten(example_params)
+            new_p = [jnp.asarray(z[f"p{i}"]) for i in range(len(p_leaves))]
+            params = jax.tree.unflatten(p_def, new_p)
+            opt_state = None
+            if example_opt_state is not None and "o0" in z:
+                o_leaves, o_def = jax.tree.flatten(example_opt_state)
+                new_o = [jnp.asarray(z[f"o{i}"])
+                         for i in range(len(o_leaves))]
+                opt_state = jax.tree.unflatten(o_def, new_o)
             step = int(z["step"])
-        return jax.tree.unflatten(treedef, new_leaves), step
+        return params, opt_state, step
     return None

@@ -24,6 +24,7 @@ SWEEP = [
     "valorant_katana.glb",
     "cube_plane.glb",
     "test/uvTextureCube.glb",
+    "sceneHierTest.glb",
 ]
 
 
@@ -35,12 +36,15 @@ def test_ingest(rel):
     from dustraytracer_tpu.scene import load_scene
 
     s = load_scene(path)
-    t = np.asarray(s.tri_pos)
+    # slice padding rows off first: pad triangles are zeros, which would
+    # dilute the finiteness/material checks and spuriously fail the
+    # root-AABB containment for scenes whose bounds exclude the origin
+    t = np.asarray(s.tri_pos)[: s.n_tris]
     n = t.shape[0]
     assert n > 0 and t.shape[1:] == (3, 3)
     assert np.isfinite(t).all()
     # material indices in range
-    mats = np.asarray(s.tri_mat)
+    mats = np.asarray(s.tri_mat)[: s.n_tris]
     assert mats.min() >= 0 and mats.max() < s.mat_albedo.shape[0]
     # texture ids either -1 or valid stack rows
     tex = np.asarray(s.mat_albedo_tex)

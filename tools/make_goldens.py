@@ -1,0 +1,134 @@
+"""Generate the committed reference-parity goldens (tests/goldens/).
+
+Two tiers per scene (see docs/REFERENCE_PARITY.md for the full contract):
+
+- *exact* goldens: small, few-sample renders at the reference's default
+  settings, regenerated and compared PER-PIXEL by
+  tests/test_reference_parity.py on every run. Generated on CPU so the
+  test (which runs on CPU) is bit-for-bit reproducible modulo XLA
+  numerics drift (tolerance 2e-3).
+- *converged* goldens: 512-sample progressive accumulations at the
+  reference's default 500-sample-cap-class workload
+  (`RendererSettings.h:22-34`: tonemap+gamma on, sunlight on,
+  bounce_limit=2 == 3 path segments). Tests render a few fresh samples
+  and gate on PSNR against these, tying the current integrator to the
+  converged image the reference's progressive renderer would settle on.
+
+Usage:
+  python tools/make_goldens.py [--tier exact|converged|all] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_DIR = os.path.join(ROOT, "tests", "goldens")
+MODELS = "/root/reference/models"
+
+# The canonical cameras for the two parity scenes (the reference embeds
+# no cameras in these .glb files and its editor camera is interactive;
+# these choices frame the scene content the way reference_render.png
+# frames cs16_dust — documented in docs/REFERENCE_PARITY.md).
+SCENES = {
+    "cornell_box": dict(
+        file="cornell_box.glb",
+        camera=dict(position=(0, 1.25, 1.18), look_at=(0, 1.1, -1.25),
+                    vfov_deg=75.0),
+        exact=dict(size=96, spp=2),
+        converged=dict(size=128, spp=512),
+    ),
+    "suzanne_plane": dict(
+        file="suzanne_plane.glb",
+        camera=dict(position=(0, 1.5, 5), look_at=(0, 0.5, 0),
+                    vfov_deg=45.0),
+        exact=dict(size=64, spp=2),
+        converged=dict(size=128, spp=512),
+    ),
+}
+
+
+def reference_default_settings():
+    """The reference's RendererSettings defaults (`RendererSettings.h:
+    22-34`): tonemap + gamma + sunlight on, sky on, bounce_limit=2.
+    The reference's loop runs `i <= ray_bounce_limit` (`RayGen.cuh:88`)
+    = 3 path segments, which is bounces=3 here."""
+    from dustraytracer_tpu.scene.settings import RenderSettings
+
+    return RenderSettings(bounces=3)
+
+
+def render_accum(scene, cam, lights, settings, size, spp, start_frame=0):
+    import jax
+    import jax.numpy as jnp
+
+    from dustraytracer_tpu.render.integrator import render_sample
+
+    accum = None
+    for i in range(spp):
+        img = render_sample(scene, cam, lights,
+                            jnp.uint32(start_frame + i),
+                            width=size, height=size, settings=settings)
+        accum = img if accum is None else accum + img
+        if (i + 1) % 64 == 0:
+            jax.block_until_ready(accum)
+            print(f"  {i + 1}/{spp} samples", file=sys.stderr)
+    return np.asarray(accum) / spp
+
+
+def save_golden(name, image, meta):
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    np.savez_compressed(path, image=image.astype(np.float16),
+                        meta=json.dumps(meta))
+    # 8-bit preview for humans (the test compares the npz)
+    from dustraytracer_tpu.utils.image import save_png
+
+    save_png(os.path.join(GOLDEN_DIR, f"{name}.png"),
+             np.clip(image, 0.0, 1.0))
+    print(f"wrote {path}  mean={image.mean():.4f}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--tier", default="all",
+                   choices=["exact", "converged", "all"])
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from dustraytracer_tpu.scene import load_scene, make_camera
+    from dustraytracer_tpu.scene.settings import LightParams
+
+    settings = reference_default_settings()
+    backend = jax.default_backend()
+
+    for name, cfg in SCENES.items():
+        scene = load_scene(os.path.join(MODELS, cfg["file"]))
+        cam = make_camera(**cfg["camera"])
+        lights = LightParams.from_settings(settings)
+        for tier in ("exact", "converged"):
+            if args.tier not in (tier, "all"):
+                continue
+            size, spp = cfg[tier]["size"], cfg[tier]["spp"]
+            print(f"{name} [{tier}] {size}x{size} @ {spp}spp "
+                  f"on {backend}...", file=sys.stderr)
+            img = render_accum(scene, cam, lights, settings, size, spp)
+            meta = {"scene": cfg["file"], "camera": cfg["camera"],
+                    "size": size, "spp": spp, "bounces": settings.bounces,
+                    "tier": tier, "backend": backend,
+                    "settings": "reference defaults (RendererSettings.h:22-34)"}
+            save_golden(f"{name}_{tier}", img, meta)
+
+
+if __name__ == "__main__":
+    main()
