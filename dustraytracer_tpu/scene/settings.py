@@ -97,10 +97,15 @@ class RenderSettings:
     rr_start_bounce: int = 2
     soft_edges: float = 0.0         # differentiable silhouettes: hits
     #   within ~soft_edges (barycentric units) of a triangle edge blend
-    #   continuously into the environment, giving vertex gradients a
-    #   boundary term (the visibility discontinuity AD cannot see).
+    #   toward whatever is BEHIND them (one continuation trace per
+    #   segment): deterministically into the sky when nothing is behind,
+    #   or via a stochastic keep/pass-through branch reweighted by
+    #   w/stop_grad(w) when other geometry backs the edge — an unbiased
+    #   single-sample estimator of the boundary gradient in both cases.
     #   0 = hard visibility (reference). Typical: 0.02-0.1 for vertex
-    #   optimization. Slightly softens silhouettes (documented bias).
+    #   optimization. Silhouettes are antialiased in the edge zone
+    #   (documented softening); costs one extra closest-hit trace per
+    #   segment.
     cosine_weighted: bool = False   # true-Lambertian bounce (normalized);
     #   default False reproduces the reference's normal + in-ball sample
     #   (`RayGen.cuh:133-134`)

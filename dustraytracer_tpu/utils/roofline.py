@@ -1,0 +1,276 @@
+"""Speed-of-light model for the traversal kernels (BASELINE.json:5).
+
+"sol_pct" answers: of the time the min-sweep kernel
+(ops/traverse_sweep.py) takes per ray wave, how much is accounted for by
+the arithmetic it actually executes, priced at *measured* machine peaks?
+
+The model has three parts:
+
+1. `measure_peaks` — empirical single-chip ceilings, measured on the
+   attached device rather than assumed from datasheets: f32
+   Precision.HIGHEST matmul TFLOP/s (what the kernels' one-hot selects
+   run at — ~1/6 of the bf16 peak because HIGHEST decomposes each f32
+   operand into bf16 passes), VPU f32 TFLOP/s (fused multiply-add
+   chain on VMEM-resident data), and HBM copy bandwidth.
+
+2. `walk_stats` — an exact host-side (numpy) replay of the threaded
+   sweep traversal on a ray sample, reproducing the integrator's ray
+   sort and 512-lane tiling. For each tile it records the number of
+   node steps the uniform cursor makes (= the union over lanes of
+   visited nodes — the quantity the kernel's wall time follows) and how
+   many of those are leaf steps; per ray it records the useful visit
+   counts.
+
+3. `sweep_sol` — prices the executed work:
+     per node step : TILE lanes x ~35 VPU f32 ops (slab test + advance)
+     per leaf step : one (10K, C) f32-HIGHEST matvec on the MXU
+                     + TILE x K x ~60 VPU f32 ops (Möller–Trumbore)
+   The speed-of-light time per wave is the max of the VPU-, MXU- and
+   HBM-bound times (rays in/out only — node/tri tables are grid-
+   invariant and stay resident in SMEM/VMEM across tiles).
+
+   sol_pct        = sol_time / measured_time for the kernel's EXECUTED
+                    work (how efficiently the kernel runs what it runs).
+   sol_pct_ideal  = the same, but pricing only per-ray USEFUL work
+                    (perfect lane coherence) — the gap between the two
+                    is divergence: lanes parked while the cursor serves
+                    other lanes' nodes.
+
+Reference hot loop this prices against:
+`/root/reference/DustRayTracer/src/Core/BVH/BVHTraversal.cuh:14-73` +
+`Shaders/Intersection.cu:4-36` (per-thread stack walk on a GTX 1650).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+TILE = 512
+SLAB_OPS = 35.0   # VPU f32 ops per lane per node step (slab + bookkeeping)
+MT_OPS = 60.0     # VPU f32 ops per (K-lane, ray) pair per leaf step
+OUT_BYTES_PER_RAY = (8 + 8) * 4.0  # rays in (8,T) + packed out (8,T), f32
+
+
+def measure_peaks(repeats: int = 3) -> dict:
+    """Empirically measure the attached chip's ceilings. ~10 s."""
+    import jax
+    import jax.numpy as jnp
+
+    peaks = {"backend": jax.default_backend(),
+             "device": str(jax.devices()[0])}
+
+    n = 4096
+    a = jnp.ones((n, n), jnp.float32)
+    b = jnp.ones((n, n), jnp.float32)
+
+    def _time(f, *args):
+        jax.block_until_ready(f(*args))  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    mm_hi = jax.jit(lambda a, b: jax.lax.dot(
+        a, b, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32))
+    peaks["mxu_f32_highest_tflops"] = 2 * n**3 / _time(mm_hi, a, b) / 1e12
+
+    ab = a.astype(jnp.bfloat16)
+    bb = b.astype(jnp.bfloat16)
+    mm_bf = jax.jit(lambda a, b: jax.lax.dot(
+        a, b, preferred_element_type=jnp.float32))
+    peaks["mxu_bf16_tflops"] = 2 * n**3 / _time(mm_bf, ab, bb) / 1e12
+
+    x = jnp.ones((2048, 512), jnp.float32)
+    iters = 512
+
+    def vpu_chain(x):
+        def body(_, x):
+            return x * 1.0000001 + 1e-7  # one FMA per element per iter
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    vpu_j = jax.jit(vpu_chain)
+    peaks["vpu_f32_tflops"] = (2.0 * x.size * iters
+                               / _time(vpu_j, x) / 1e12)
+
+    big = jnp.ones((64 * 1024 * 1024,), jnp.float32)  # 256 MB
+    copy_j = jax.jit(lambda v: v + 1.0)
+    peaks["hbm_gbps"] = 2 * big.size * 4 / _time(copy_j, big) / 1e9
+    return peaks
+
+
+def _sorted_rays(cluster, origin, direction):
+    """Sort rays exactly as the integrator's _sorted_tracers does."""
+    import jax.numpy as jnp
+
+    from dustraytracer_tpu.render.integrator import ray_sort_key
+
+    lo = jnp.asarray(cluster.node_min[0])
+    hi = jnp.asarray(cluster.node_max[0])
+    key = np.asarray(ray_sort_key(lo, hi, jnp.asarray(origin),
+                                  jnp.asarray(direction)))
+    perm = np.argsort(key, kind="stable")
+    return origin[perm], direction[perm]
+
+
+def _sim_tile(tabs, o, d):
+    """Numpy replay of the sweep walk for ONE tile of rays. Returns
+    (visited (T, m) bool, leaf_visits (T,))."""
+    node_min, node_max, skip, ncl, v0, e1, e2, tri_idx, m = tabs
+    n = o.shape[0]
+    inv_d = 1.0 / d
+    node = np.zeros(n, np.int64)
+    hit_t = np.full(n, 3.4e38)
+    visited = np.zeros((n, m), bool)
+    leaf_visits = np.zeros(n, np.int64)
+
+    while True:
+        active = node < m
+        if not active.any():
+            break
+        nd = np.where(active, node, 0)
+        visited[active, nd[active]] = True
+
+        bmin = node_min[nd]
+        bmax = node_max[nd]
+        t0 = (bmin - o) * inv_d
+        t1 = (bmax - o) * inv_d
+        tlo = np.fmin(t0, t1).max(axis=1)
+        thi = np.fmax(t0, t1).min(axis=1)
+        t_enter = np.maximum(tlo, 0.0)
+        box_hit = (t_enter <= thi) & (thi >= 0.0)
+        enter = active & box_hit & (t_enter < hit_t)
+        is_leaf = ncl[nd] >= 0
+
+        # leaf: intersect the cluster's K triangles (for distance culling)
+        lf = enter & is_leaf
+        if lf.any():
+            leaf_visits[lf] += 1
+            cl = ncl[nd[lf]]
+            lv0, le1, le2 = v0[cl], e1[cl], e2[cl]  # (L, K, 3)
+            ld = d[lf][:, None, :]
+            lo_ = o[lf][:, None, :]
+            p = np.cross(ld, le2)
+            det = (le1 * p).sum(-1)
+            par = np.abs(det) < 1e-6
+            inv = 1.0 / np.where(par, 1.0, det)
+            tv = lo_ - lv0
+            u = inv * (tv * p).sum(-1)
+            q = np.cross(tv, le1)
+            v = inv * (ld * q).sum(-1)
+            tt = inv * (le2 * q).sum(-1)
+            ok = (~par) & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) \
+                & (tt > 1e-6) & (tri_idx[cl] >= 0)
+            tt = np.where(ok, tt, 3.4e38)
+            best = tt.min(axis=1)
+            hit_t[lf] = np.minimum(hit_t[lf], best)
+
+        nxt = np.where(enter & ~is_leaf, nd + 1, skip[nd])
+        node = np.where(active, nxt, node)
+    return visited, leaf_visits
+
+
+def walk_stats(cluster, origin, direction, max_tiles: int = 64) -> dict:
+    """Exact numpy replay of the sweep traversal on the FULL sorted wave,
+    simulating a uniform sample of whole 512-lane tiles (tile composition
+    — the thing kernel wall time follows — is preserved exactly).
+
+    Returns per-tile executed step counts (union of visited nodes) and
+    per-ray useful visit counts. `cluster` is a ClusterBvh."""
+    o_all = np.asarray(origin, np.float32)
+    d_all = np.asarray(direction, np.float32)
+    o_all, d_all = _sorted_rays(cluster, o_all, d_all)
+    n = o_all.shape[0]
+    n_tiles = max(n // TILE, 1)
+    stride = max(n_tiles // max_tiles, 1)
+    pick = list(range(0, n_tiles, stride))[:max_tiles]
+
+    node_min = np.asarray(cluster.node_min, np.float64)
+    node_max = np.asarray(cluster.node_max, np.float64)
+    skip = np.asarray(cluster.node_skip)
+    ncl = np.asarray(cluster.node_cluster)
+    m = cluster.n_nodes
+    skip = np.where(skip < 0, m, skip)
+    tabs = (node_min, node_max, skip, ncl,
+            np.asarray(cluster.v0, np.float64),
+            np.asarray(cluster.e1, np.float64),
+            np.asarray(cluster.e2, np.float64),
+            np.asarray(cluster.tri_idx), m)
+
+    is_leaf_node = ncl[:m] >= 0  # node tables are padded past n_nodes
+    tile_steps = np.zeros(len(pick), np.int64)
+    tile_leaf_steps = np.zeros(len(pick), np.int64)
+    visits_sum = 0.0
+    leaf_sum = 0.0
+    n_sim = 0
+    for j, t in enumerate(pick):
+        o = o_all[t * TILE:(t + 1) * TILE].astype(np.float64)
+        d = d_all[t * TILE:(t + 1) * TILE].astype(np.float64)
+        visited, leaf_visits = _sim_tile(tabs, o, d)
+        uni = visited.any(axis=0)
+        tile_steps[j] = int(uni.sum())
+        tile_leaf_steps[j] = int((uni & is_leaf_node).sum())
+        visits_sum += float(visited.sum())
+        leaf_sum += float(leaf_visits.sum())
+        n_sim += o.shape[0]
+
+    return {
+        "n_rays": n_sim,
+        "tile_steps": tile_steps,
+        "tile_leaf_steps": tile_leaf_steps,
+        "mean_visits_per_ray": visits_sum / max(n_sim, 1),
+        "mean_leaf_visits_per_ray": leaf_sum / max(n_sim, 1),
+    }
+
+
+def sweep_sol(stats: dict, peaks: dict, k: int, c_pad: int) -> dict:
+    """Price the sweep kernel's work at measured peaks -> SoL rays/s."""
+    vpu = peaks["vpu_f32_tflops"] * 1e12
+    mxu = peaks["mxu_f32_highest_tflops"] * 1e12
+    hbm = peaks["hbm_gbps"] * 1e9
+    n = stats["n_rays"]
+
+    steps = float(stats["tile_steps"].sum())
+    leaf_steps = float(stats["tile_leaf_steps"].sum())
+
+    # executed work (what the kernel actually runs)
+    vpu_flops = steps * TILE * SLAB_OPS + leaf_steps * TILE * k * MT_OPS
+    mxu_flops = leaf_steps * 2.0 * (10 * k) * c_pad
+    io_bytes = n * OUT_BYTES_PER_RAY
+    t_exec = max(vpu_flops / vpu, mxu_flops / mxu, io_bytes / hbm)
+
+    # ideal work (perfect lane coherence: every lane busy every step)
+    u_vpu = n * (stats["mean_visits_per_ray"] * SLAB_OPS
+                 + stats["mean_leaf_visits_per_ray"] * k * MT_OPS)
+    u_mxu = (n * stats["mean_leaf_visits_per_ray"] / TILE
+             * 2.0 * (10 * k) * c_pad)
+    t_ideal = max(u_vpu / vpu, u_mxu / mxu, io_bytes / hbm)
+
+    bound = ["vpu", "mxu", "hbm"][int(np.argmax(
+        [vpu_flops / vpu, mxu_flops / mxu, io_bytes / hbm]))]
+    return {
+        "sol_rays_per_s": n / t_exec,
+        "sol_rays_per_s_ideal": n / t_ideal,
+        "bound": bound,
+        "executed_vpu_gflops_per_mray": vpu_flops / n / 1e3,
+        "executed_mxu_gflops_per_mray": mxu_flops / n / 1e3,
+        "mean_tile_steps": float(stats["tile_steps"].mean()),
+        "mean_visits_per_ray": stats["mean_visits_per_ray"],
+        "lane_occupancy": (n * stats["mean_visits_per_ray"]
+                           / max(stats["tile_steps"].sum() * TILE, 1)),
+    }
+
+
+def sol_report(measured_rays_per_s: float, stats: dict, peaks: dict,
+               k: int, c_pad: int) -> dict:
+    s = sweep_sol(stats, peaks, k, c_pad)
+    s["measured_rays_per_s"] = measured_rays_per_s
+    s["sol_pct"] = 100.0 * measured_rays_per_s / s["sol_rays_per_s"]
+    s["sol_pct_ideal"] = (100.0 * measured_rays_per_s
+                          / s["sol_rays_per_s_ideal"])
+    return s

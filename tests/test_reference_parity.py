@@ -1,0 +1,101 @@
+"""Reference-parity golden harness (BASELINE.md "render parity" gate).
+
+Two tiers, both against goldens COMMITTED under tests/goldens/ (generated
+by tools/make_goldens.py; full contract in docs/REFERENCE_PARITY.md):
+
+- exact: the render is regenerated at the golden's exact configuration
+  and compared PER-PIXEL. The RNG (own PCG, ops/rng.py) is deterministic
+  across runs and jax versions, so any disagreement beyond float16
+  storage quantization + XLA numerics drift is a real regression.
+- converged: fresh samples (disjoint RNG frames) are rendered and gated
+  on PSNR against a 512-spp converged accumulation at the reference's
+  default settings (`RendererSettings.h:22-34`) — the image the
+  reference's progressive renderer (`RenderKernel.cu:29-31`) settles on.
+
+Why there is no bit-comparison against the CUDA binary's output: the
+reference cannot run here (no NVIDIA GPU), and its renders depend on
+implementation bugs we deliberately fixed (half-FOV `Camera.cu:84-85`,
+seed correlation `RayGen.cuh:74-75`) — see docs/REFERENCE_PARITY.md for
+the accounting.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+MODELS = "/root/reference/models"
+
+
+def _load_golden(name):
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} not generated")
+    with np.load(path) as z:
+        return z["image"].astype(np.float32), json.loads(str(z["meta"]))
+
+
+def _render(meta, spp=None, start_frame=0):
+    import jax.numpy as jnp
+
+    from dustraytracer_tpu.render.integrator import render_sample
+    from dustraytracer_tpu.scene import load_scene, make_camera
+    from dustraytracer_tpu.scene.settings import LightParams, RenderSettings
+
+    scene_path = os.path.join(MODELS, meta["scene"])
+    if not os.path.exists(scene_path):
+        pytest.skip(f"{meta['scene']} not bundled")
+    scene = load_scene(scene_path)
+    cam = make_camera(**{k: tuple(v) if isinstance(v, list) else v
+                         for k, v in meta["camera"].items()})
+    settings = RenderSettings(bounces=meta["bounces"])
+    lights = LightParams.from_settings(settings)
+    size = meta["size"]
+    spp = spp or meta["spp"]
+    accum = None
+    for i in range(spp):
+        img = render_sample(scene, cam, lights, jnp.uint32(start_frame + i),
+                            width=size, height=size, settings=settings)
+        accum = img if accum is None else accum + img
+    return np.asarray(accum) / spp
+
+
+def _psnr(a, b, peak=1.0):
+    mse = float(np.mean((a - b) ** 2))
+    return 10.0 * np.log10(peak * peak / max(mse, 1e-12))
+
+
+@pytest.mark.parametrize("name", ["cornell_box", "suzanne_plane"])
+def test_exact_golden(name):
+    """Per-pixel regeneration of the committed golden."""
+    golden, meta = _load_golden(f"{name}_exact")
+    img = _render(meta)
+    # float16 storage quantizes at ~5e-4 of magnitude; anything past 2e-3
+    # absolute (post-tonemap values are O(1)) is a real pixel regression
+    diff = np.abs(img - golden)
+    assert diff.max() < 2e-3, (
+        f"max per-pixel diff {diff.max():.5f} at "
+        f"{np.unravel_index(diff.argmax(), diff.shape)}")
+    assert _psnr(img, golden) > 55.0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,min_psnr", [("cornell_box", 21.5),
+                                           ("suzanne_plane", 25.0)])
+def test_converged_psnr(name, min_psnr):
+    """Fresh samples must converge toward the committed 512-spp image.
+
+    Frames 4096.. are disjoint from the golden's 0..511, so this is a
+    statistical gate: PSNR is bounded by Monte-Carlo noise at the test
+    spp. Thresholds are calibrated ~3 dB below the measured value at
+    generation time (see docs/REFERENCE_PARITY.md) — a systematic
+    integrator change (wrong sky term, lost NEE, broken accumulation)
+    shifts PSNR far more than noise jitter does.
+    """
+    golden, meta = _load_golden(f"{name}_converged")
+    spp = 16 if name == "cornell_box" else 4
+    img = _render(meta, spp=spp, start_frame=4096)
+    got = _psnr(np.clip(img, 0, 1), np.clip(golden, 0, 1))
+    assert got > min_psnr, f"PSNR {got:.2f} dB < {min_psnr}"

@@ -28,6 +28,8 @@ import sys
 import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:  # allow running as `python tools/make_goldens.py`
+    sys.path.insert(0, ROOT)
 GOLDEN_DIR = os.path.join(ROOT, "tests", "goldens")
 MODELS = "/root/reference/models"
 
