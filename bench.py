@@ -70,22 +70,30 @@ def main():
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2)))
 
+    # Synchronization: fetch the scalar loss to the host. Through the
+    # axon tunnel block_until_ready can return before device completion
+    # (utils/roofline.py measure_peaks docstring); a host fetch is the
+    # only reliable fence. The device executes queued dispatches
+    # serially, so timing N dispatches + one final fetch measures the
+    # true aggregate device time (plus one ~tens-of-ms tunnel latency,
+    # amortized over SPP_TIMED).
     compile_t0 = time.perf_counter()
     out = grad_fn(scene.mat_albedo, scene.mat_emissive, lights,
                   jnp.uint32(0))
-    jax.block_until_ready(out)
+    float(out[0])
     compile_s = time.perf_counter() - compile_t0
     # warm the dispatch pipeline (first post-compile steps pay transfer
     # setup through the tunnel)
     for i in range(2):
         out = grad_fn(scene.mat_albedo, scene.mat_emissive, lights,
                       jnp.uint32(1 + i))
-    jax.block_until_ready(out)
+    float(out[0])
 
     t0 = time.perf_counter()
-    outs = [grad_fn(scene.mat_albedo, scene.mat_emissive, lights,
-                    jnp.uint32(10 + i)) for i in range(SPP_TIMED)]
-    jax.block_until_ready(outs)
+    for i in range(SPP_TIMED):
+        out = grad_fn(scene.mat_albedo, scene.mat_emissive, lights,
+                      jnp.uint32(10 + i))
+    float(out[0])
     dt = (time.perf_counter() - t0) / SPP_TIMED
 
     rays_per_sample = WIDTH * HEIGHT * 2 * BOUNCES  # segments + NEE shadow
@@ -120,13 +128,15 @@ def main():
         o, d = o[perm], d[perm]
 
         trav = jax.jit(
-            lambda o, d: traverse_cluster_sweep(scene.cluster, o, d))
-        jax.block_until_ready(trav(o, d)["t"])
+            lambda o, d: jnp.sum(traverse_cluster_sweep(
+                scene.cluster, o, d)["t"]))
+        float(trav(o, d))  # compile + warm (scalar fetch = real fence)
+        float(trav(o, d))
         t0 = time.perf_counter()
         reps = 5
         for _ in range(reps):
             r = trav(o, d)
-        jax.block_until_ready(r["t"])
+        float(r)
         trav_dt = (time.perf_counter() - t0) / reps
         trav_rays_per_s = n / trav_dt
 

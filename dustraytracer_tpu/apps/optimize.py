@@ -54,6 +54,17 @@ def build_parser():
                    help="vary the RNG frame per step (noisy loss); default "
                    "keeps the sample deterministic, which converges faster "
                    "on self-tests")
+    p.add_argument("--perturb-vertices", type=float, default=0.0,
+                   help="self-test vertex init: true + U(-s, s) offset "
+                   "instead of the default 0.5*true + 0.25*U scramble "
+                   "(a full scramble destroys a mesh beyond any local "
+                   "silhouette gradient's basin)")
+    p.add_argument("--soft-edges", type=float, default=None,
+                   help="differentiable silhouettes (settings.soft_edges); "
+                   "default: 0.05 when optimizing vertices, else 0")
+    p.add_argument("--nee-cosine", action="store_true",
+                   help="N*L on sun NEE — gives vertex gradients a "
+                   "continuous shading term at low bounce counts")
     return p
 
 
@@ -65,6 +76,27 @@ PARAM_KEYS = {
     "vertices": "tri_pos",
     "textures": "tex_stack",
 }
+
+# physical ranges, projected after every update (adam can otherwise walk
+# weakly-observed parameters — e.g. roughness while metallic -> 0 — far
+# out of their domain and strand them there)
+PARAM_BOUNDS = {
+    "mat_albedo": (0.0, 1.0),
+    "mat_emissive": (0.0, None),
+    "mat_roughness": (0.0, 1.0),
+    "mat_metallic": (0.0, 1.0),
+    "tex_stack": (0.0, 1.0),
+}
+
+
+def project_params(params):
+    import jax.numpy as jnp
+
+    out = dict(params)
+    for k, (lo, hi) in PARAM_BOUNDS.items():
+        if k in out:
+            out[k] = jnp.clip(out[k], lo, hi)
+    return out
 
 
 def main(argv=None) -> int:
@@ -105,6 +137,13 @@ def main(argv=None) -> int:
         # vertex updates would go stale against baked cluster tables; the
         # gather traversal reads live geometry
         settings = settings.replace(traversal="gather")
+    soft = args.soft_edges
+    if soft is None:
+        soft = 0.05 if "vertices" in args.optimize else 0.0
+    if soft > 0.0:
+        settings = settings.replace(soft_edges=float(soft))
+    if args.nee_cosine:
+        settings = settings.replace(nee_cosine=True)
     if {"emissive", "metallic", "roughness"} & set(args.optimize):
         # these parameters only shade in the PBR model
         settings = settings.replace(shading="pbr")
@@ -138,7 +177,13 @@ def main(argv=None) -> int:
             true = getattr(scene, k)
             if args.self_test:
                 key, sub = jax.random.split(key)
-                init = true * 0.5 + 0.25 * jax.random.uniform(sub, true.shape)
+                if name == "vertices" and args.perturb_vertices > 0:
+                    s_p = args.perturb_vertices
+                    init = true + jax.random.uniform(
+                        sub, true.shape, minval=-s_p, maxval=s_p)
+                else:
+                    init = true * 0.5 + 0.25 * jax.random.uniform(
+                        sub, true.shape)
             else:
                 init = true
             params[k] = init
@@ -205,7 +250,7 @@ def main(argv=None) -> int:
     def train_step(params, opt_state, frame):
         loss, grads = jax.value_and_grad(loss_fn)(params, frame)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params = project_params(optax.apply_updates(params, updates))
         return params, opt_state, loss
 
     history = []

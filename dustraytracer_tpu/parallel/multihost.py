@@ -27,7 +27,8 @@ import time
 
 
 def initialize(coordinator: str | None = None, num_processes: int | None = None,
-               process_id: int | None = None) -> int:
+               process_id: int | None = None,
+               initialization_timeout: int | None = None) -> int:
     """Bring up the jax distributed runtime; returns this process' index.
 
     With no arguments, uses the TPU pod metadata (the standard path on
@@ -36,15 +37,21 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
     """
     import jax
 
-    try:
-        if coordinator:
-            jax.distributed.initialize(coordinator_address=coordinator,
-                                       num_processes=num_processes,
-                                       process_id=process_id)
-        else:
-            jax.distributed.initialize()
-    except Exception:
-        pass  # single-process fallback
+    kw = {}
+    if initialization_timeout is not None:
+        kw["initialization_timeout"] = initialization_timeout
+    if coordinator:
+        # explicit cluster parameters: failure here means the job the
+        # user asked for cannot run — fail LOUDLY, never fall back to a
+        # silent single-process render of 1/N of the work
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id, **kw)
+    else:
+        try:
+            jax.distributed.initialize(**kw)
+        except Exception:
+            pass  # no cluster env present: single-process fallback
     return jax.process_index()
 
 
@@ -78,7 +85,10 @@ def render_distributed(scene_path: str, *, width: int, height: int,
             width=width, height=height, settings=settings)
     image = accum / max(spp, 1)
 
-    gathered = multihost_utils.process_allgather(image)
+    # tiled=True: `image` is a GLOBAL tile-sharded array (not fully
+    # addressable per process); tiled assembly stitches the shards back
+    # into the full framebuffer instead of stacking per-process copies
+    gathered = multihost_utils.process_allgather(image, tiled=True)
     if jax.process_index() == 0:
         return np.asarray(gathered)
     return None

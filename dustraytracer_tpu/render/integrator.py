@@ -604,6 +604,16 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
         spec_dir = refl + roughness[:, None] * ball
         is_metal = u_lobe < jax.lax.stop_gradient(metallic)
         bounce_dir = jnp.where(is_metal[:, None], spec_dir, bounce_dir)
+        # w/stop_grad(w) reweight (same estimator as soft edges): value 1,
+        # gradient = the lobe-choice probability derivative — without it
+        # `metallic` is invisible to AD (its only effect is this discrete
+        # branch). Applied to throughput AFTER this segment's light adds,
+        # so it scales exactly the radiance downstream of the choice.
+        w_lobe = jnp.where(is_metal, metallic, 1.0 - metallic)
+        w_lobe = jnp.clip(w_lobe, 1e-3, 1.0)
+        lobe_ratio = jnp.where(live_hit,
+                               w_lobe / jax.lax.stop_gradient(w_lobe), 1.0)
+        throughput = throughput * lobe_ratio[:, None]
 
     new_carry = (new_origin, bounce_dir, throughput, light, alive, rng)
     ys = {"hit_idx": hit_idx, "occluded": occluded, "survive": survive}

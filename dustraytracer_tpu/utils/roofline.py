@@ -54,53 +54,90 @@ OUT_BYTES_PER_RAY = (8 + 8) * 4.0  # rays in (8,T) + packed out (8,T), f32
 
 
 def measure_peaks(repeats: int = 3) -> dict:
-    """Empirically measure the attached chip's ceilings. ~10 s."""
+    """Empirically measure the attached chip's ceilings. ~20 s.
+
+    Every measurement uses DELTA timing — the same kernel at two
+    iteration counts, rate = extra work / extra time — because a single
+    dispatch through the axon tunnel carries ~10-30 ms of fixed latency
+    that would otherwise swamp the device time (observed: a naive
+    single-matmul 'peak' of 5 TFLOP/s on a 197 TFLOP/s chip).
+    """
     import jax
     import jax.numpy as jnp
+    from functools import partial
 
     peaks = {"backend": jax.default_backend(),
              "device": str(jax.devices()[0])}
 
-    n = 4096
-    a = jnp.ones((n, n), jnp.float32)
-    b = jnp.ones((n, n), jnp.float32)
-
     def _time(f, *args):
-        jax.block_until_ready(f(*args))  # compile + warm
+        # fetch a SCALAR to synchronize: through the axon tunnel,
+        # block_until_ready returns before device completion (observed:
+        # 160 chained 2048^3 matmuls "finishing" in 0.07 ms); a host
+        # fetch of the result is the only reliable fence
+        float(f(*args))  # compile + warm
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(*args))
+            float(f(*args))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    mm_hi = jax.jit(lambda a, b: jax.lax.dot(
-        a, b, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32))
-    peaks["mxu_f32_highest_tflops"] = 2 * n**3 / _time(mm_hi, a, b) / 1e12
+    def _delta_rate(make_fn, work_per_iter, n1, n2, *args):
+        t1 = _time(jax.jit(partial(make_fn, n1)), *args)
+        t2 = _time(jax.jit(partial(make_fn, n2)), *args)
+        dt = max(t2 - t1, 1e-9)
+        return (n2 - n1) * work_per_iter / dt
 
-    ab = a.astype(jnp.bfloat16)
-    bb = b.astype(jnp.bfloat16)
-    mm_bf = jax.jit(lambda a, b: jax.lax.dot(
-        a, b, preferred_element_type=jnp.float32))
-    peaks["mxu_bf16_tflops"] = 2 * n**3 / _time(mm_bf, ab, bb) / 1e12
+    n = 2048
+    a = jnp.full((n, n), 1.0 / n, jnp.float32)
+    b = jnp.ones((n, n), jnp.float32)
 
-    x = jnp.ones((2048, 512), jnp.float32)
-    iters = 512
+    def mm_chain(iters, a, b, *, precision):
+        def body(_, acc):
+            # rows of acc sum to 1, b is all-ones -> dot(acc, b) == 1s;
+            # rescale keeps values stable across iterations
+            return jax.lax.dot(acc, b, precision=precision,
+                               preferred_element_type=jnp.float32) * (1.0 / n)
 
-    def vpu_chain(x):
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, a))
+
+    hi = jax.lax.Precision.HIGHEST
+    peaks["mxu_f32_highest_tflops"] = _delta_rate(
+        partial(mm_chain, precision=hi), 2.0 * n**3, 8, 40, a, b) / 1e12
+
+    def mm_chain_bf(iters, a, b):
+        def body(_, acc):
+            out = jax.lax.dot(acc, b, preferred_element_type=jnp.float32)
+            return (out * (1.0 / n)).astype(jnp.bfloat16)
+
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, a)
+                       .astype(jnp.float32))
+
+    peaks["mxu_bf16_tflops"] = _delta_rate(
+        mm_chain_bf, 2.0 * n**3, 8, 40,
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)) / 1e12
+
+    x = jnp.ones((4096, 512), jnp.float32)
+
+    def vpu_chain(iters, x):
         def body(_, x):
             return x * 1.0000001 + 1e-7  # one FMA per element per iter
 
-        return jax.lax.fori_loop(0, iters, body, x)
+        return jax.lax.fori_loop(0, iters, body, x)[0, 0]
 
-    vpu_j = jax.jit(vpu_chain)
-    peaks["vpu_f32_tflops"] = (2.0 * x.size * iters
-                               / _time(vpu_j, x) / 1e12)
+    peaks["vpu_f32_tflops"] = _delta_rate(
+        vpu_chain, 2.0 * x.size, 1024, 9216, x) / 1e12
 
-    big = jnp.ones((64 * 1024 * 1024,), jnp.float32)  # 256 MB
-    copy_j = jax.jit(lambda v: v + 1.0)
-    peaks["hbm_gbps"] = 2 * big.size * 4 / _time(copy_j, big) / 1e9
+    big = jnp.ones((96 * 1024 * 1024,), jnp.float32)  # 384 MB: HBM-resident
+
+    def copy_chain(iters, v):
+        def body(_, v):
+            return v + 1.0  # read + write the full buffer per iter
+
+        return jax.lax.fori_loop(0, iters, body, v)[0]
+
+    peaks["hbm_gbps"] = _delta_rate(
+        copy_chain, 2.0 * big.size * 4, 2, 18, big) / 1e9
     return peaks
 
 
