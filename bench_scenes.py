@@ -3,6 +3,14 @@
 `bench.py` stays the single-number driver metric; this sweeps the
 reference's bundled scenes forward-only and fwd+bwd and writes a JSON
 report (the reference's in-app Developer Metrics, made reproducible).
+Includes the reference's own flagship scene cs16_dust.glb
+(`EditorLayer.cpp:50`) and the 90k-triangle valorant_katana stress scene,
+plus the roofline speed-of-light percentage for the traversal kernel on
+each BVH-path scene (utils/roofline.py).
+
+Timing uses host scalar fetches as fences — through the axon tunnel
+block_until_ready can return before device completion (see
+utils/roofline.py measure_peaks).
 
 Usage: python bench_scenes.py [--out bench_report.json]
 """
@@ -14,10 +22,14 @@ import json
 import time
 
 CONFIGS = [
-    # (name, scene, W, H, bounces, spp_timed)  — BASELINE.json configs 1-3
+    # (name, scene, W, H, bounces, spp_timed) — BASELINE.json configs 1-3
     ("cornell_256", "cornell_box.glb", 256, 256, 2, 4),
     ("suzanne_512", "suzanne_plane.glb", 512, 512, 4, 2),
     ("dense_monkey_1k", "dense_monkey.glb", 1024, 1024, 2, 1),
+    # reference flagship scene (EditorLayer.cpp:50), 11k tris + 23 textures
+    ("cs16_dust_512", "source/cs16_dust.glb", 512, 512, 2, 2),
+    # 90k-tri ingest/traversal stress (BASELINE config 5 scene)
+    ("katana_512", "valorant_katana.glb", 512, 512, 2, 2),
 ]
 
 CAMERAS = {
@@ -27,6 +39,12 @@ CAMERAS = {
                               vfov_deg=45.0),
     "dense_monkey.glb": dict(position=(0, 1.0, 4), look_at=(0, 0.5, 0),
                              vfov_deg=45.0),
+    # cs16_dust: aerial over the map (the reference's editor camera is
+    # hand-flown; this pose frames ~the whole map, 99.6% ray hit coverage)
+    "source/cs16_dust.glb": dict(position=(45, 30, 45), look_at=(-5, 0, -25),
+                                 vfov_deg=55.0),
+    "valorant_katana.glb": dict(position=(0, 2.5, 5), look_at=(0, 2.5, 0),
+                                vfov_deg=55.0),
 }
 
 
@@ -34,11 +52,13 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="bench_report.json")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--skip-sol", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+    import numpy as np
     import jax.numpy as jnp
 
     from dustraytracer_tpu.render.integrator import render_sample
@@ -48,6 +68,14 @@ def main(argv=None):
     report = {"backend": jax.default_backend(),
               "device": str(jax.devices()[0]), "configs": []}
 
+    peaks = None
+    if not args.skip_sol:
+        from dustraytracer_tpu.utils.roofline import measure_peaks
+
+        peaks = measure_peaks()
+        report["peaks"] = {k: round(v, 2) for k, v in peaks.items()
+                           if isinstance(v, float)}
+
     for name, scene_file, w, h, bounces, spp in CONFIGS:
         scene = load_scene(f"/root/reference/models/{scene_file}")
         cam = make_camera(**CAMERAS[scene_file])
@@ -56,8 +84,9 @@ def main(argv=None):
         lights = LightParams.from_settings(settings)
 
         def fwd(frame):
-            return render_sample(scene, cam, lights, frame,
-                                 width=w, height=h, settings=settings)
+            return jnp.sum(render_sample(scene, cam, lights, frame,
+                                         width=w, height=h,
+                                         settings=settings))
 
         def loss(albedo, frame):
             img = render_sample(scene.replace(mat_albedo=albedo), cam,
@@ -69,30 +98,78 @@ def main(argv=None):
         bwd_j = jax.jit(jax.value_and_grad(loss))
 
         entry = {"config": name, "scene": scene_file, "size": [w, h],
-                 "bounces": bounces, "triangles": scene.n_tris}
+                 "bounces": bounces, "triangles": scene.n_tris,
+                 "bvh_nodes": scene.cluster.n_nodes if scene.cluster
+                 else scene.n_nodes}
         try:
             t0 = time.perf_counter()
-            jax.block_until_ready(fwd_j(jnp.uint32(0)))
+            float(fwd_j(jnp.uint32(0)))  # scalar fetch = real fence
             entry["fwd_compile_s"] = round(time.perf_counter() - t0, 2)
+            float(fwd_j(jnp.uint32(1)))  # warm dispatch
             t0 = time.perf_counter()
-            outs = [fwd_j(jnp.uint32(1 + i)) for i in range(spp)]
-            jax.block_until_ready(outs)
+            for i in range(spp):
+                out = fwd_j(jnp.uint32(2 + i))
+            float(out)
             dt = (time.perf_counter() - t0) / spp
             entry["fwd_ms_per_sample"] = round(dt * 1e3, 2)
             entry["fwd_mrays_per_s"] = round(
                 w * h * 2 * bounces / dt / 1e6, 3)
 
             t0 = time.perf_counter()
-            jax.block_until_ready(bwd_j(scene.mat_albedo, jnp.uint32(0)))
+            out = bwd_j(scene.mat_albedo, jnp.uint32(0))
+            float(out[0])
             entry["fwdbwd_compile_s"] = round(time.perf_counter() - t0, 2)
+            float(bwd_j(scene.mat_albedo, jnp.uint32(1))[0])
             t0 = time.perf_counter()
-            outs = [bwd_j(scene.mat_albedo, jnp.uint32(1 + i))
-                    for i in range(spp)]
-            jax.block_until_ready(outs)
+            for i in range(spp):
+                out = bwd_j(scene.mat_albedo, jnp.uint32(2 + i))
+            float(out[0])
             dt = (time.perf_counter() - t0) / spp
             entry["fwdbwd_ms_per_sample"] = round(dt * 1e3, 2)
             entry["fwdbwd_mrays_per_s"] = round(
                 w * h * 2 * bounces / dt / 1e6, 3)
+
+            # --- traversal kernel in isolation + SoL (BVH scenes only) ---
+            if (peaks is not None and scene.cluster is not None
+                    and scene.n_tris > settings.brute_max_tris):
+                from dustraytracer_tpu.ops.rng import seed_pixels
+                from dustraytracer_tpu.ops.traverse_sweep import (
+                    MAX_SMEM_NODES, traverse_cluster_sweep)
+                from dustraytracer_tpu.render.integrator import ray_sort_key
+                from dustraytracer_tpu.scene.camera import generate_rays
+                from dustraytracer_tpu.utils.roofline import (sol_report,
+                                                              walk_stats)
+
+                if scene.cluster.n_nodes <= MAX_SMEM_NODES:
+                    n = w * h
+                    ids = jnp.arange(n, dtype=jnp.int32)
+                    rng = seed_pixels(ids.astype(jnp.uint32), jnp.uint32(0))
+                    _r, o, d = generate_rays(cam, w, h, rng, pixel_ids=ids)
+                    key = ray_sort_key(scene.node_min[0], scene.node_max[0],
+                                       o, d)
+                    perm = jnp.argsort(key)
+                    o, d = o[perm], d[perm]
+                    trav = jax.jit(lambda o, d: jnp.sum(
+                        traverse_cluster_sweep(scene.cluster, o, d)["t"]))
+                    float(trav(o, d))
+                    float(trav(o, d))
+                    t0 = time.perf_counter()
+                    for _ in range(4):
+                        r = trav(o, d)
+                    float(r)
+                    trav_dt = (time.perf_counter() - t0) / 4
+                    stats = walk_stats(scene.cluster, np.asarray(o),
+                                       np.asarray(d))
+                    sol = sol_report(n / trav_dt, stats, peaks,
+                                     scene.cluster.k,
+                                     scene.cluster.v0.shape[0])
+                    entry["traversal_mrays_per_s"] = round(
+                        n / trav_dt / 1e6, 2)
+                    entry["sol_pct"] = round(sol["sol_pct"], 1)
+                    entry["sol_pct_ideal_coherence"] = round(
+                        sol["sol_pct_ideal"], 1)
+                    entry["mean_tile_steps"] = round(
+                        sol["mean_tile_steps"], 1)
         except Exception as e:
             entry["error"] = f"{type(e).__name__}: {e}"[:200]
         report["configs"].append(entry)

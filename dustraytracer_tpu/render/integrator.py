@@ -94,31 +94,37 @@ def _fetch_material(scene, mats, fetch: str):
             "tex": scene.mat_albedo_tex[mats]}
 
 
-def shade_hits(scene, origin, direction, hit_idx, fetch: str = "gather"):
+def shade_hits(scene, origin, direction, hit_idx, fetch: str = "gather",
+               smooth: bool = False):
     """Differentiable hit attributes from discrete hit ids.
 
     Recomputes the Möller–Trumbore solution for the *selected* triangle so
     t/u/v (and everything downstream) differentiate w.r.t. vertices and
     rays, while the selection itself stays discrete. Returns a dict with
-    world_position, normal (geometric, viewer-facing — `ClosestHit.cuh:
-    17-25`), shading uv, barycentrics, material id, front_face.
+    world_position, normal (geometric viewer-facing per `ClosestHit.cuh:
+    17-25`, or barycentric-interpolated vertex normals with smooth=True),
+    shading uv, barycentrics, material id, front_face.
 
-    fetch="onehot" replaces the 6 per-lane gathers with ONE one-hot
-    matmul over a fused (T, 21) attribute table (see _onehot_rows).
+    fetch="onehot" replaces the per-lane gathers with ONE one-hot
+    matmul over a fused attribute table (see _onehot_rows).
     """
     safe = jnp.maximum(hit_idx, 0)
+    corner_nrm = None
     if fetch == "onehot":
         t_n = scene.tri_pos.shape[0]
-        tab = jnp.concatenate(
-            [scene.tri_pos.reshape(t_n, 9),
-             scene.tri_face_nrm,
-             scene.tri_uv.reshape(t_n, 6),
-             scene.tri_mat.astype(jnp.float32)[:, None]], axis=1)
-        rows = _onehot_rows(safe, tab)
+        cols = [scene.tri_pos.reshape(t_n, 9),
+                scene.tri_face_nrm,
+                scene.tri_uv.reshape(t_n, 6),
+                scene.tri_mat.astype(jnp.float32)[:, None]]
+        if smooth:
+            cols.append(scene.tri_nrm.reshape(t_n, 9))
+        rows = _onehot_rows(safe, jnp.concatenate(cols, axis=1))
         v0, v1, v2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
         face_nrm = rows[:, 9:12]
         uv0, uv1, uv2 = rows[:, 12:14], rows[:, 14:16], rows[:, 16:18]
         mat = rows[:, 18].astype(jnp.int32)
+        if smooth:
+            corner_nrm = rows[:, 19:28].reshape(-1, 3, 3)
     else:
         v0 = scene.tri_pos[safe, 0]
         v1 = scene.tri_pos[safe, 1]
@@ -128,6 +134,8 @@ def shade_hits(scene, origin, direction, hit_idx, fetch: str = "gather"):
         uv1 = scene.tri_uv[safe, 1]
         uv2 = scene.tri_uv[safe, 2]
         mat = scene.tri_mat[safe]
+        if smooth:
+            corner_nrm = scene.tri_nrm[safe]
     _valid, t, u, v = moller_trumbore(origin, direction, v0, v1, v2)
     # Sanitize miss lanes: their MT solution is garbage (possibly ±inf),
     # and infinities poison gradients even through masked-out branches
@@ -152,6 +160,16 @@ def shade_hits(scene, origin, direction, hit_idx, fetch: str = "gather"):
     d_norm = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
     front = jnp.sum(face_n * d_norm, axis=-1) <= 0.0
     normal = jnp.where(front[:, None], face_n, -face_n)
+    if smooth:
+        # barycentric-interpolated vertex normals (smooth shading), still
+        # flipped toward the viewer; falls back to the geometric normal
+        # where the interpolated one degenerates
+        sm = (w[:, None] * corner_nrm[:, 0] + u[:, None] * corner_nrm[:, 1]
+              + v[:, None] * corner_nrm[:, 2])
+        ln = jnp.linalg.norm(sm, axis=-1, keepdims=True)
+        sm = jnp.where(ln > 1e-8, sm / jnp.maximum(ln, 1e-20), normal)
+        flip = jnp.sum(sm * d_norm, axis=-1) > 0.0
+        normal = jnp.where(flip[:, None], -sm, sm)
 
     uv = w[:, None] * uv0 + u[:, None] * uv1 + v[:, None] * uv2
     return {
@@ -531,7 +549,8 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
     light = light + jnp.where(add_sky[:, None],
                               throughput * sky * lights.sky_intensity, 0.0)
 
-    sh = shade_hits(scene, origin, direction, hit_idx, fetch)
+    sh = shade_hits(scene, origin, direction, hit_idx, fetch,
+                    smooth=settings.smooth_shading)
     matd = _fetch_material(scene, sh["material"], fetch)
 
     # --- emission (PBR mode; the reference parses EmissiveFactor but
@@ -661,7 +680,8 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
         hit_idx = res["hit_idx"]
         live_hit = alive & (hit_idx >= 0)
         fetch = _resolve_fetch(scene, settings)
-        sh = shade_hits(scene, origin, direction, hit_idx, fetch)
+        sh = shade_hits(scene, origin, direction, hit_idx, fetch,
+                        smooth=settings.smooth_shading)
         alb = _albedo(scene, _fetch_material(scene, sh["material"], fetch),
                       sh["uv"])
         throughput = jnp.where(live_hit[:, None], throughput * alb, throughput)

