@@ -50,9 +50,20 @@ from dustraytracer_tpu.accel.cluster import ClusterBvh
 
 BIG = 3.4e38
 TILE = 512
-# node scalar tables live in SMEM; gate on node count so we never ask
-# for more scalar memory than the core has (fallback: one-hot kernel)
-MAX_SMEM_NODES = 4096
+# Node scalar tables live in SMEM when they fit (<= MAX_SMEM_NODES, 8
+# words/node); beyond that the kernel switches to PAGED mode: the tables
+# stay in HBM and a 2-slot window of PAGE nodes streams through SMEM via
+# DMA. The uniform cursor only moves FORWARD, so page crossings are rare
+# (>= PAGE node-steps apart minus skip jumps) and the walk has no node-
+# count ceiling. 2835-node valorant_katana hit multi-minute Mosaic
+# compiles / HTTP-500 aborts with a 91 KB monolithic SMEM table — paging
+# keeps the resident scalar footprint at 2*PAGE*8 words regardless of
+# scene size.
+MAX_SMEM_NODES = 1024
+# nodes per SMEM page. Must keep BOTH flat page chunks 1024-aligned
+# (Mosaic tiles 1-D refs at (1024,) and rejects unaligned slices):
+# PAGE*6 f32 box words and PAGE*2 i32 link words -> PAGE multiple of 512.
+PAGE = 512
 # nodes processed per while-loop iteration: the loop's per-iteration
 # overhead (scalar bookkeeping + cross-lane min reduction + branch) is
 # ~500x the actual VPU slab work, so amortizing it over a window of
@@ -65,7 +76,11 @@ UNROLL = 4
 
 
 def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
-            node_s, t_s, idx_s, vis_s, *, m, c, k, anyhit):
+            node_s, t_s, idx_s, vis_s, *paging, m, c, k, anyhit,
+            paged=False, m_pad=0):
+    if paged:
+        box_pg, link_pg, sems = paging
+        n_pages = m_pad // PAGE
     t = rays_ref.shape[-1]
 
     ox = rays_ref[0:1, :]
@@ -87,33 +102,82 @@ def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
     vis_s[:] = jnp.zeros((1, t), jnp.int32)
 
     def cond(carry):
-        step, i = carry
+        step, i, _q = carry
         return jnp.logical_and(step < m + 4, i < m)
 
+    def _load_pages(q):
+        """Make pages q and q+1 resident (slot = page parity). Both are
+        waited before returning: a window starting late in page q may
+        read into page q+1 in the same iteration. Tables are FLAT 1-D so
+        each page is one contiguous 128-aligned HBM run (Mosaic rejects
+        2-D slices whose minor dim isn't lane-aligned)."""
+        q2 = jnp.minimum(q + 1, n_pages - 1)
+        for page, slot in ((q, q % 2), (q2, (q + 1) % 2)):
+            cb = pltpu.make_async_copy(
+                node_box_ref.at[pl.ds(page * (PAGE * 6), PAGE * 6)],
+                box_pg.at[pl.ds(slot * (PAGE * 6), PAGE * 6)],
+                sems.at[slot, 0])
+            cl = pltpu.make_async_copy(
+                node_link_ref.at[pl.ds(page * (PAGE * 2), PAGE * 2)],
+                link_pg.at[pl.ds(slot * (PAGE * 2), PAGE * 2)],
+                sems.at[slot, 1])
+            cb.start()
+            cl.start()
+            cb.wait()
+            cl.wait()
+
     def body(carry):
-        step, i0 = carry
+        step, i0, cur_q = carry
+        if paged:
+            q = i0 // PAGE
+
+            @pl.when(q != cur_q)
+            def _():
+                _load_pages(q)
+        else:
+            q = cur_q
+        last = (m_pad if paged else m) - 1
         for s in range(UNROLL):
-            _substep(jnp.minimum(i0 + s, m - 1))
+            _substep(jnp.minimum(i0 + s, last))
         # the min over lanes strictly increases -> <= m iterations total
         # (the step counter is belt-and-braces against layout bugs)
-        return step + 1, jnp.min(node_s[:])
+        return step + 1, jnp.min(node_s[:]), q
 
     def _substep(i):
-        # --- uniform node: 8 scalar SMEM reads ---
-        bminx = node_box_ref[i, 0]
-        bminy = node_box_ref[i, 1]
-        bminz = node_box_ref[i, 2]
-        bmaxx = node_box_ref[i, 3]
-        bmaxy = node_box_ref[i, 4]
-        bmaxz = node_box_ref[i, 5]
-        skip = node_link_ref[i, 0]      # already remapped: -1 -> m
-        cluster = node_link_ref[i, 1]   # >= 0 iff leaf
+        # --- uniform node: 8 scalar SMEM reads (direct, or from the
+        # resident page window — i is always within pages q/q+1) ---
+        if paged:
+            slot = (i // PAGE) % 2
+            off = i % PAGE
+            b_at = slot * (PAGE * 6) + off * 6
+            l_at = slot * (PAGE * 2) + off * 2
+            bminx = box_pg[b_at + 0]
+            bminy = box_pg[b_at + 1]
+            bminz = box_pg[b_at + 2]
+            bmaxx = box_pg[b_at + 3]
+            bmaxy = box_pg[b_at + 4]
+            bmaxz = box_pg[b_at + 5]
+            skip = link_pg[l_at + 0]     # already remapped: -1 -> m
+            cluster = link_pg[l_at + 1]  # >= 0 iff leaf
+        else:
+            bminx = node_box_ref[i, 0]
+            bminy = node_box_ref[i, 1]
+            bminz = node_box_ref[i, 2]
+            bmaxx = node_box_ref[i, 3]
+            bmaxy = node_box_ref[i, 4]
+            bmaxz = node_box_ref[i, 5]
+            skip = node_link_ref[i, 0]      # already remapped: -1 -> m
+            cluster = node_link_ref[i, 1]   # >= 0 iff leaf
         is_leaf = cluster >= 0
 
         node = node_s[:]
         hit_t = t_s[:]
         active = node == i
-        vis_s[:] = vis_s[:] + active.astype(jnp.int32)
+        # clamped window sub-steps can process padding node ids >= m,
+        # where "parked" lanes are actually DONE (sentinel m) — they are
+        # inert for traversal (padding boxes never enter) but must not
+        # count as visits
+        vis_s[:] = vis_s[:] + (active & (i < m)).astype(jnp.int32)
 
         # --- slab test vs the uniform box (scalar-vector broadcast) ---
         tx0 = (bminx - ox) * inv_x
@@ -193,7 +257,10 @@ def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
             if anyhit:
                 node_s[:] = jnp.where(improve, m, node_s[:])
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+    if paged:
+        _load_pages(jnp.int32(0))
+    jax.lax.while_loop(cond, body,
+                       (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
 
     out_ref[0:1, :] = t_s[:]
     out_ref[1:2, :] = idx_s[:].astype(jnp.float32)
@@ -237,7 +304,8 @@ def traverse_cluster_sweep(cb: ClusterBvh, origin, direction, *,
     """Min-sweep kernel traversal; same results as traverse_cluster.
 
     Opaque to autodiff (zero gradients — discrete selector contract).
-    Requires cb.n_nodes <= MAX_SMEM_NODES (caller falls back otherwise).
+    Scenes past MAX_SMEM_NODES run in paged mode (node tables streamed
+    HBM -> SMEM in PAGE windows) with no node-count ceiling.
     """
     if t_max is None:
         t_max = jnp.float32(BIG)
@@ -266,12 +334,23 @@ def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
     rays = rays.reshape(8, n_tiles, TILE).transpose(1, 0, 2) \
         .reshape(n_tiles * 8, TILE)
 
-    # SMEM node tables, real nodes only (padding rows never visited)
+    paged = m > MAX_SMEM_NODES
     node_box = jnp.concatenate([cb.node_min[:m], cb.node_max[:m]],
                                axis=1)  # (m, 6) f32
     skip = cb.node_skip[:m]
     skip = jnp.where(skip < 0, m, skip)  # sentinel: done == m
     node_link = jnp.stack([skip, cb.node_cluster[:m]], axis=1)  # (m, 2)
+    m_pad = 0
+    if paged:
+        # pad to whole pages; padding nodes are inert: degenerate box
+        # (bmin == bmax == BIG never enters), escape to done, not a leaf
+        m_pad = ((m + PAGE - 1) // PAGE) * PAGE
+        node_box = jnp.concatenate(
+            [node_box, jnp.full((m_pad - m, 6), BIG, jnp.float32)], axis=0)
+        pad_link = jnp.stack(
+            [jnp.full((m_pad - m,), m, jnp.int32),
+             jnp.full((m_pad - m,), -1, jnp.int32)], axis=1)
+        node_link = jnp.concatenate([node_link, pad_link], axis=0)
 
     # fused planar component table (10K, C), clusters on lanes:
     # rows [v0x v0y v0z | e1xyz | e2xyz | tri_idx] x K — a leaf visit
@@ -290,20 +369,30 @@ def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    kernel = partial(_kernel, m=m, c=c_pad, k=k, anyhit=anyhit)
+    kernel = partial(_kernel, m=m, c=c_pad, k=k, anyhit=anyhit,
+                     paged=paged, m_pad=m_pad)
+
+    node_space = pl.ANY if paged else pltpu.SMEM
+    scratch = [pltpu.VMEM((1, TILE), jnp.int32),
+               pltpu.VMEM((1, TILE), jnp.float32),
+               pltpu.VMEM((1, TILE), jnp.int32),
+               pltpu.VMEM((1, TILE), jnp.int32)]
+    if paged:
+        scratch += [pltpu.SMEM((2 * PAGE * 6,), jnp.float32),
+                    pltpu.SMEM((2 * PAGE * 2,), jnp.int32),
+                    pltpu.SemaphoreType.DMA((2, 2))]
+        node_box = node_box.reshape(-1)  # flat: aligned 1-D page DMAs
+        node_link = node_link.reshape(-1)
 
     packed = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
+        in_specs=[pl.BlockSpec(memory_space=node_space),
+                  pl.BlockSpec(memory_space=node_space),
                   ray_spec, tab_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * 8, TILE), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, TILE), jnp.int32),
-                        pltpu.VMEM((1, TILE), jnp.float32),
-                        pltpu.VMEM((1, TILE), jnp.int32),
-                        pltpu.VMEM((1, TILE), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(node_box, node_link, rays, tri_tab)
 

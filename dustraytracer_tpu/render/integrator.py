@@ -355,9 +355,7 @@ def _make_tracers(scene, settings: RenderSettings):
     """
     from dustraytracer_tpu.ops.traverse_brute import traverse_brute
     from dustraytracer_tpu.ops.traverse_cluster import traverse_cluster
-    from dustraytracer_tpu.ops.traverse_pallas import traverse_cluster_pallas
-    from dustraytracer_tpu.ops.traverse_sweep import (
-        MAX_SMEM_NODES, traverse_cluster_sweep)
+    from dustraytracer_tpu.ops.traverse_sweep import traverse_cluster_sweep
 
     use_cluster = (scene.cluster is not None
                    and settings.traversal != "gather")
@@ -374,13 +372,13 @@ def _make_tracers(scene, settings: RenderSettings):
         or (settings.traversal == "auto"
             and scene.cluster.n_clusters * scene.cluster.k
             <= settings.brute_max_tris))
-    # Fused Pallas kernels are the fast path on real TPUs; the XLA
-    # cluster walk serves CPU (tests/sharding sim). Default kernel is
-    # the min-sweep (work ∝ nodes the tile's rays touch); the one-hot
-    # kernel covers node counts past the SMEM budget.
-    use_pallas = (use_cluster and not use_brute
-                  and jax.default_backend() != "cpu")
-    use_sweep = use_pallas and scene.cluster.n_nodes <= MAX_SMEM_NODES
+    # The fused min-sweep Pallas kernel is the fast path on real TPUs
+    # (work ∝ nodes the tile's rays touch; node tables page through SMEM
+    # past MAX_SMEM_NODES, so there is no scene-size ceiling). The XLA
+    # cluster walk serves CPU (tests/sharding sim); ops/traverse_pallas'
+    # one-hot kernel remains available as an explicit alternate backend.
+    use_sweep = (use_cluster and not use_brute
+                 and jax.default_backend() != "cpu")
     if use_brute:
         def closest(o, d):
             return traverse_brute(scene.cluster, o, d)
@@ -394,24 +392,6 @@ def _make_tracers(scene, settings: RenderSettings):
 
         def anyhit(o, d):
             r = traverse_cluster_sweep(scene.cluster, o, d, anyhit=True)
-            return r["hit_idx"] >= 0
-    elif use_pallas and (settings.render_mode == RenderMode.DEBUG
-                         and settings.debug_mode in (DebugMode.BVH,
-                                                     DebugMode.WORLD_BVH)):
-        # the one-hot kernel doesn't track visit counts (carry-size
-        # limits) — the BVH heat view falls back to the XLA walk
-        def closest(o, d):
-            return traverse_cluster(scene.cluster, o, d)
-
-        def anyhit(o, d):
-            r = traverse_cluster(scene.cluster, o, d, anyhit=True)
-            return r["hit_idx"] >= 0
-    elif use_pallas:
-        def closest(o, d):
-            return traverse_cluster_pallas(scene.cluster, o, d)
-
-        def anyhit(o, d):
-            r = traverse_cluster_pallas(scene.cluster, o, d, anyhit=True)
             return r["hit_idx"] >= 0
     elif use_cluster:
         def closest(o, d):
@@ -430,7 +410,7 @@ def _make_tracers(scene, settings: RenderSettings):
                                    alpha_test=settings.alpha_test)
 
     sort = settings.ray_sort == "on" or (
-        settings.ray_sort == "auto" and use_pallas
+        settings.ray_sort == "auto" and use_sweep
         and scene.cluster.n_nodes >= 128)
     if sort:
         closest, anyhit = _sorted_tracers(scene, closest, anyhit)

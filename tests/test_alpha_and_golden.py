@@ -135,3 +135,44 @@ def test_golden_stats(name):
         f"{name}: mean {img.mean():.4f} != golden {mean}"
     assert abs(float(img.std()) - std) < 2e-3, \
         f"{name}: std {img.std():.4f} != golden {std}"
+
+
+def test_alpha_retrace_epsilon_contract():
+    """Pin the re-trace epsilon semantics on the cluster fast path
+    (integrator._alpha_retrace_tracers): opaque geometry separated from a
+    fully-transparent cutout by >= 1e-3 of the hit distance must ALWAYS
+    be found by the re-trace — the advance epsilon (t*(1+1e-5)+1e-5) may
+    only skip geometry closer than ~2e-5*t, which is the documented
+    trade-off (VERDICT r1 weak-7)."""
+    import dataclasses
+
+    from dustraytracer_tpu.render.integrator import _make_tracers
+    from dustraytracer_tpu.scene.gltf import (GltfDocument, GltfMaterial)
+    from dustraytracer_tpu.scene.scene import build_scene
+    from dustraytracer_tpu.scene.settings import RenderSettings
+    from tests.util_scenes import make_quad
+
+    for sep in (1e-3, 1e-2, 0.1, 1.0):
+        doc = GltfDocument(
+            meshes=[("cutout", [make_quad((0, 0, -1.0), 4, axis=2, mat=0)]),
+                    ("opaque", [make_quad((0, 0, -1.0 - sep), 4, axis=2,
+                                          mat=1)])],
+            materials=[GltfMaterial(base_color=np.ones(3, np.float32),
+                                    base_color_texture=0),
+                       GltfMaterial(base_color=np.ones(3, np.float32))],
+            images=[np.zeros((4, 4, 4), np.uint8)],  # alpha 0 everywhere
+            cameras=[])
+        scene = build_scene(doc, use_native=False)
+        s = RenderSettings(alpha_test=True, traversal="cluster")
+        closest, anyhit = _make_tracers(scene, s)
+        o = jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32)
+        d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+        r = closest(o, d)
+        hit = int(np.asarray(r["hit_idx"])[0])
+        t = float(np.asarray(r["t"])[0])
+        # must land on the opaque quad (triangles 2-3 pre-BVH-reorder;
+        # check by distance: t == 3 + sep)
+        assert hit >= 0, f"sep={sep}: cutout skipped everything"
+        np.testing.assert_allclose(t, 3.0 + sep, rtol=1e-4,
+                                   err_msg=f"sep={sep}")
+        assert bool(np.asarray(anyhit(o, d))[0])

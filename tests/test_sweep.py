@@ -105,3 +105,30 @@ def test_sweep_zero_gradient_contract(soup):
 
     g = jax.grad(f)(o)
     np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_sweep_paged_matches_resident(monkeypatch):
+    """Paged mode (node tables streamed HBM->SMEM in PAGE windows) must
+    walk identically to resident mode. Forced on a small scene by
+    shrinking the thresholds; multi-page coverage: m >> PAGE."""
+    import dustraytracer_tpu.ops.traverse_sweep as tsw
+
+    scene = build_scene(make_random_tri_doc(900, seed=5), use_native=False)
+    cb = build_cluster_bvh(np.asarray(scene.tri_pos), k=8)
+    assert cb.n_nodes > 128, cb.n_nodes  # several 32-node pages
+
+    o, d = _rays(700, 3)
+    resident = traverse_cluster_sweep(cb, o, d, interpret=True)
+
+    monkeypatch.setattr(tsw, "MAX_SMEM_NODES", 16)
+    monkeypatch.setattr(tsw, "PAGE", 32)
+    tsw._OPAQUE_CACHE.clear()  # cached closures baked the old thresholds
+    paged = traverse_cluster_sweep(cb, o, d, interpret=True)
+    tsw._OPAQUE_CACHE.clear()
+
+    np.testing.assert_array_equal(np.asarray(paged["hit_idx"]),
+                                  np.asarray(resident["hit_idx"]))
+    np.testing.assert_allclose(np.asarray(paged["t"]),
+                               np.asarray(resident["t"]), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(paged["visits"]),
+                                  np.asarray(resident["visits"]))
