@@ -43,8 +43,11 @@ CAMERAS = {
     # hand-flown; this pose frames ~the whole map, 99.6% ray hit coverage)
     "source/cs16_dust.glb": dict(position=(45, 30, 45), look_at=(-5, 0, -25),
                                  vfov_deg=55.0),
-    "valorant_katana.glb": dict(position=(0, 2.5, 5), look_at=(0, 2.5, 0),
-                                vfov_deg=55.0),
+    # katana: the blade is thin — ~17% hit coverage is the realistic max
+    # for a full-blade framing; the miss-heavy mix stresses the top of
+    # the tree (and the paged node window)
+    "valorant_katana.glb": dict(position=(0, 2.9, 3.2),
+                                look_at=(-0.5, 2.9, 0), vfov_deg=70.0),
 }
 
 

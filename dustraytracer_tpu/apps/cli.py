@@ -61,6 +61,14 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--alpha-test", action="store_true",
                    help="alpha-cutout any-hit (AnyHit.cuh)")
     r.add_argument("--russian-roulette", action="store_true")
+    r.add_argument("--smooth-shading", action="store_true",
+                   help="interpolate glTF vertex normals (the reference "
+                   "shades with flat face normals)")
+    r.add_argument("--tex-filter", choices=["point", "bilinear"],
+                   default="point")
+    r.add_argument("--shading", choices=["reference", "pbr"],
+                   default="reference",
+                   help="pbr adds emissive + metallic/roughness lobes")
     r.add_argument("--debug-view",
                    choices=["albedo", "normal", "barycentric", "uvs", "bvh"],
                    help="render a debug head instead of the beauty pass")
@@ -119,7 +127,9 @@ def cmd_render(args) -> int:
         enable_tonemap=not args.no_tonemap, enable_gamma=not args.no_gamma,
         enable_sunlight=not args.no_sun, sun_intensity=args.sun_intensity,
         sky_intensity=args.sky_intensity, sky_color=tuple(args.sky_color),
-        alpha_test=args.alpha_test, russian_roulette=args.russian_roulette)
+        alpha_test=args.alpha_test, russian_roulette=args.russian_roulette,
+        smooth_shading=args.smooth_shading, tex_filter=args.tex_filter,
+        shading=args.shading)
     if args.debug_view:
         settings = settings.replace(
             render_mode=RenderMode.DEBUG,

@@ -202,10 +202,10 @@ def _sky(direction, lights: LightParams):
     return col * col
 
 
-def _albedo(scene, mat_attrs, uv, hits_tex_bilinear=False):
+def _albedo(scene, mat_attrs, uv, bilinear=False):
     tex = mat_attrs["tex"]
     flat = mat_attrs["albedo"]
-    sampled = sample_texture(scene, tex, uv, bilinear=hits_tex_bilinear)
+    sampled = sample_texture(scene, tex, uv, bilinear=bilinear)
     return jnp.where((tex >= 0)[:, None], sampled, flat)
 
 
@@ -540,7 +540,8 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
         light = light + jnp.where(live_hit[:, None], throughput * emis, 0.0)
 
     # --- surface throughput (RayGen.cuh:110-118) ---
-    alb = _albedo(scene, matd, sh["uv"])
+    alb = _albedo(scene, matd, sh["uv"],
+                  bilinear=settings.tex_filter == "bilinear")
     throughput = jnp.where(live_hit[:, None], throughput * alb, throughput)
 
     new_origin = sh["world_position"] + sh["normal"] * 1e-3
@@ -663,7 +664,7 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
         sh = shade_hits(scene, origin, direction, hit_idx, fetch,
                         smooth=settings.smooth_shading)
         alb = _albedo(scene, _fetch_material(scene, sh["material"], fetch),
-                      sh["uv"])
+                      sh["uv"], bilinear=settings.tex_filter == "bilinear")
         throughput = jnp.where(live_hit[:, None], throughput * alb, throughput)
         sky = _sky(direction, lights)
         light = light + jnp.where((~live_hit)[:, None],

@@ -106,6 +106,10 @@ class RenderSettings:
     #   optimization. Silhouettes are antialiased in the edge zone
     #   (documented softening); costs one extra closest-hit trace per
     #   segment.
+    tex_filter: str = "point"       # "point" | "bilinear" albedo texture
+    #   filtering. The reference point-samples (`Texture.cu:33-58`);
+    #   bilinear is a quality extension and makes texel gradients vary
+    #   smoothly in uv (useful for texture optimization).
     smooth_shading: bool = False    # interpolate per-corner shading
     #   normals (glTF NORMAL attribute) across each triangle instead of
     #   the flat geometric normal. The reference parses vertex normals
