@@ -136,14 +136,14 @@ def main(argv=None):
             if (peaks is not None and scene.cluster is not None
                     and scene.n_tris > settings.brute_max_tris):
                 from dustraytracer_tpu.ops.rng import seed_pixels
-                from dustraytracer_tpu.ops.traverse_sweep import (
-                    MAX_SMEM_NODES, traverse_cluster_sweep)
+                from dustraytracer_tpu.ops.traverse_sweep import \
+                    traverse_cluster_sweep
                 from dustraytracer_tpu.render.integrator import ray_sort_key
                 from dustraytracer_tpu.scene.camera import generate_rays
                 from dustraytracer_tpu.utils.roofline import (sol_report,
                                                               walk_stats)
 
-                if scene.cluster.n_nodes <= MAX_SMEM_NODES:
+                if True:  # sweep kernel pages: any node count works
                     n = w * h
                     ids = jnp.arange(n, dtype=jnp.int32)
                     rng = seed_pixels(ids.astype(jnp.uint32), jnp.uint32(0))

@@ -58,6 +58,7 @@ MUTABLE_SETTINGS = (
     "bounces", "max_samples", "enable_tonemap", "enable_gamma",
     "enable_sunlight", "sun_intensity", "sky_intensity", "sun_azimuth",
     "sun_elevation", "alpha_test", "russian_roulette", "shading",
+    "smooth_shading", "tex_filter",
 )
 
 
@@ -221,6 +222,8 @@ class ViewerState:
                     "sky_intensity": float(s.sky_intensity),
                     "shading": s.shading,
                     "alpha_test": s.alpha_test,
+                    "smooth_shading": s.smooth_shading,
+                    "tex_filter": s.tex_filter,
                     "debug_view": (s.debug_mode.name.lower()
                                    if s.render_mode.name == "DEBUG"
                                    else ""),
@@ -312,7 +315,10 @@ async function refresh() {
     el.innerHTML = num('bounces',1)+num('max_samples',10)
       +num('sun_intensity',1)+num('sky_intensity',1)
       +chk('enable_tonemap')+chk('enable_gamma')+chk('enable_sunlight')
-      +chk('alpha_test')
+      +chk('alpha_test')+chk('smooth_shading')
+      +`<label>tex filter<select onchange='api({set:{tex_filter:this.value}})'>
+        <option ${set.tex_filter=='point'?'selected':''}>point</option>
+        <option ${set.tex_filter=='bilinear'?'selected':''}>bilinear</option></select></label>`
       +`<label>shading<select onchange='api({set:{shading:this.value}})'>
         <option ${set.shading=='reference'?'selected':''}>reference</option>
         <option ${set.shading=='pbr'?'selected':''}>pbr</option></select></label>`

@@ -1,0 +1,77 @@
+"""Viewer smoke test: boot the render thread + HTTP server, drive the
+JSON API like the browser UI does (state fetch, settings mutation with
+accumulation reset, camera move, frame fetch), shut down cleanly.
+"""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_viewer_api_roundtrip(tri_scene):
+    from http.server import ThreadingHTTPServer
+
+    from dustraytracer_tpu.apps.viewer import ViewerState, make_handler
+    from dustraytracer_tpu.scene import make_camera
+    from dustraytracer_tpu.scene.settings import RenderSettings
+
+    cam = make_camera(position=(0, 2, 6), look_at=(0, 1, 0), vfov_deg=50)
+    state = ViewerState(tri_scene, cam, RenderSettings(bounces=1),
+                        width=64, height=48, speed=0.2)
+    t = threading.Thread(target=state.run, daemon=True)
+    t.start()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0),
+                              make_handler(state, ["night"]))
+    port = srv.server_address[1]
+    st = threading.Thread(target=srv.serve_forever, daemon=True)
+    st.start()
+
+    def get(path):
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=30) as r:
+            return r.read(), r.headers.get_content_type()
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.read()
+
+    try:
+        # wait for at least one accumulated sample
+        for _ in range(100):
+            body, _ = get("/state")
+            s = json.loads(body)
+            if s["samples"] >= 1:
+                break
+            time.sleep(0.3)
+        assert s["samples"] >= 1
+        assert s["scene"]["triangles"] > 0
+        assert s["settings"]["smooth_shading"] is False
+        assert s["settings"]["tex_filter"] == "point"
+
+        png, ctype = get("/frame.png")
+        assert ctype == "image/png" and png[:4] == b"\x89PNG"
+
+        # settings mutation resets accumulation and takes effect
+        post("/api", {"set": {"smooth_shading": True, "bounces": 2}})
+        time.sleep(0.5)
+        body, _ = get("/state")
+        s2 = json.loads(body)
+        assert s2["settings"]["smooth_shading"] is True
+        assert s2["settings"]["bounces"] == 2
+
+        # index page serves the UI
+        idx, ctype = get("/")
+        assert b"dustraytracer" in idx.lower() or b"viewport" in idx.lower()
+    finally:
+        state.running = False
+        srv.shutdown()
