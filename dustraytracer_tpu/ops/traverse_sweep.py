@@ -49,7 +49,13 @@ from jax.experimental.pallas import tpu as pltpu
 from dustraytracer_tpu.accel.cluster import ClusterBvh
 
 BIG = 3.4e38
-TILE = 512
+# rays per kernel tile. Bigger tiles amortize per-tile dispatch/pipeline
+# overhead; the union-of-visited-nodes per tile grows sublinearly for
+# sorted rays, so the trade favors large tiles (measured on v5e:
+# suzanne 28.8 -> 37.5, dense_monkey 9.6 -> 16.2 Mrays/s going 512 ->
+# 2048). Per-ray results are tile-invariant (each lane's walk is
+# independent; tiling only schedules).
+TILE = 2048
 # Node scalar tables live in SMEM when they fit (<= MAX_SMEM_NODES, 8
 # words/node); beyond that the kernel switches to PAGED mode: the tables
 # stay in HBM and a 2-slot window of PAGE nodes streams through SMEM via

@@ -446,8 +446,14 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
 
     if tracing:
         trace_closest, trace_anyhit = tracers
-        res = trace_closest(origin, direction)
-        hit_idx = res["hit_idx"]
+        # park DEAD lanes far outside the scene so their walks terminate
+        # at the root test (~1 node step). Their results are ignored
+        # downstream (masked by `alive`), and the ray sort clusters the
+        # parked origins into tiles that finish instantly — without this,
+        # terminated paths keep paying full traversal every bounce.
+        o_live = jnp.where(alive[:, None], origin, 3.0e37)
+        res = trace_closest(o_live, direction)
+        hit_idx = jnp.where(alive, res["hit_idx"], -1)
     else:
         hit_idx = traced["hit_idx"]
 
@@ -482,8 +488,10 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
             # as the alpha re-trace); epsilon trade-off documented there
             adv = jnp.where(alive & hit0,
                             res["t"] * (1.0 + 1e-4) + 1e-4, 0.0)
+            # lanes with no hit need no continuation: park them far out
+            # so the re-trace costs ~1 node step
             o2 = jnp.where((alive & hit0)[:, None],
-                           origin + direction * adv[:, None], origin)
+                           o_live + direction * adv[:, None], 3.0e37)
             res2 = trace_closest(o2, direction)
             cont_miss = alive & hit0 & (res2["hit_idx"] < 0)
             pass_th = (alive & hit0 & ~cont_miss
@@ -553,7 +561,9 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
         rng, jit_vec = random_unit_vec3(rng)
         shadow_dir = sun_pos[None, :] + jit_vec * 1.5
         if tracing:
-            occluded = trace_anyhit(new_origin, shadow_dir)
+            # shadow rays only matter for live hits; park the rest
+            nee_o = jnp.where(live_hit[:, None], new_origin, 3.0e37)
+            occluded = trace_anyhit(nee_o, shadow_dir)
         else:
             occluded = traced["occluded"]
         contrib = sun_col[None, :] * throughput

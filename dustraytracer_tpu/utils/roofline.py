@@ -47,7 +47,7 @@ import time
 
 import numpy as np
 
-TILE = 512
+from dustraytracer_tpu.ops.traverse_sweep import TILE  # kernel tile size
 SLAB_OPS = 35.0   # VPU f32 ops per lane per node step (slab + bookkeeping)
 MT_OPS = 60.0     # VPU f32 ops per (K-lane, ray) pair per leaf step
 OUT_BYTES_PER_RAY = (8 + 8) * 4.0  # rays in (8,T) + packed out (8,T), f32
