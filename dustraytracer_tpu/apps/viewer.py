@@ -188,6 +188,15 @@ class ViewerState:
                     self.settings = self.settings.replace(**kw)
                     self.dirty = True
                     self.log(f"settings: {kw}")
+            if "resize" in cmd:
+                # resize-reactive render target (`Renderer::ResizeBuffer`,
+                # Core/Renderer.cu:29-78): new film + fresh executable for
+                # the new shape, accumulation restarts
+                w, h = (int(x) for x in cmd["resize"])
+                if 16 <= w <= 4096 and 16 <= h <= 4096:
+                    self.width, self.height = w, h
+                    self.dirty = True
+                    self.log(f"resized to {w}x{h}")
             if cmd.get("reset"):
                 self.dirty = True
                 self.log("accumulation reset")
@@ -203,6 +212,7 @@ class ViewerState:
             rays = (self.width * self.height * s.bounces
                     * (2 if s.enable_sunlight else 1))
             return {
+                "size": [self.width, self.height],
                 "samples": self.samples,
                 "max_samples": s.max_samples,
                 "sample_ms": round(self.sample_ms, 2),
@@ -316,6 +326,8 @@ async function refresh() {
       +num('sun_intensity',1)+num('sky_intensity',1)
       +chk('enable_tonemap')+chk('enable_gamma')+chk('enable_sunlight')
       +chk('alpha_test')+chk('smooth_shading')
+      +`<label>size<input size=9 value="${s.size[0]}x${s.size[1]}"
+        onchange='const p=this.value.split("x");api({resize:[+p[0],+p[1]]})'></label>`
       +`<label>tex filter<select onchange='api({set:{tex_filter:this.value}})'>
         <option ${set.tex_filter=='point'?'selected':''}>point</option>
         <option ${set.tex_filter=='bilinear'?'selected':''}>bilinear</option></select></label>`

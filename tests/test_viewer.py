@@ -69,6 +69,22 @@ def test_viewer_api_roundtrip(tri_scene):
         assert s2["settings"]["smooth_shading"] is True
         assert s2["settings"]["bounces"] == 2
 
+        # resize-reactive render target (Renderer::ResizeBuffer parity)
+        post("/api", {"resize": [48, 32]})
+        for _ in range(100):
+            body, _ = get("/state")
+            s3 = json.loads(body)
+            if s3["size"] == [48, 32] and s3["samples"] >= 1:
+                break
+            time.sleep(0.3)
+        assert s3["size"] == [48, 32]
+        import io
+        png, _ = get("/frame.png")
+        # PNG IHDR carries width/height big-endian at bytes 16..24
+        import struct
+        w_px, h_px = struct.unpack(">II", png[16:24])
+        assert (w_px, h_px) == (48, 32)
+
         # index page serves the UI
         idx, ctype = get("/")
         assert b"dustraytracer" in idx.lower() or b"viewport" in idx.lower()
