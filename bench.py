@@ -114,6 +114,7 @@ def main():
         from dustraytracer_tpu.ops.traverse_sweep import \
             traverse_cluster_sweep
         from dustraytracer_tpu.utils.roofline import (measure_peaks,
+                                                      measure_sweep_rates,
                                                       sol_report, walk_stats)
 
         n = WIDTH * HEIGHT
@@ -141,12 +142,18 @@ def main():
         trav_rays_per_s = n / trav_dt
 
         peaks = measure_peaks()
+        rates = measure_sweep_rates(k=scene.cluster.k,
+                                    c_pad=scene.cluster.v0.shape[0])
         stats = walk_stats(scene.cluster, np.asarray(o), np.asarray(d))
         sol = sol_report(trav_rays_per_s, stats, peaks,
-                         scene.cluster.k, scene.cluster.v0.shape[0])
+                         scene.cluster.k, scene.cluster.v0.shape[0],
+                         rates=rates)
         result.update({
             "traversal_mrays_per_s": round(trav_rays_per_s / 1e6, 2),
             "sol_pct": round(sol["sol_pct"], 2),
+            "kernel_step_ns": sol.get("kernel_step_ns"),
+            "kernel_leaf_step_ns": sol.get("kernel_leaf_step_ns"),
+            "analytic_sol_pct": round(sol["analytic_sol_pct"], 1),
             "sol_pct_ideal_coherence": round(sol["sol_pct_ideal"], 2),
             "sol_bound": sol["bound"],
             "mean_tile_steps": round(sol["mean_tile_steps"], 1),

@@ -78,6 +78,7 @@ def main(argv=None):
         peaks = measure_peaks()
         report["peaks"] = {k: round(v, 2) for k, v in peaks.items()
                            if isinstance(v, float)}
+    rates_cache = {}
 
     for name, scene_file, w, h, bounces, spp in CONFIGS:
         scene = load_scene(f"/root/reference/models/{scene_file}")
@@ -140,8 +141,8 @@ def main(argv=None):
                     traverse_cluster_sweep
                 from dustraytracer_tpu.render.integrator import ray_sort_key
                 from dustraytracer_tpu.scene.camera import generate_rays
-                from dustraytracer_tpu.utils.roofline import (sol_report,
-                                                              walk_stats)
+                from dustraytracer_tpu.utils.roofline import (
+                    measure_sweep_rates, sol_report, walk_stats)
 
                 if True:  # sweep kernel pages: any node count works
                     n = w * h
@@ -163,12 +164,22 @@ def main(argv=None):
                     trav_dt = (time.perf_counter() - t0) / 4
                     stats = walk_stats(scene.cluster, np.asarray(o),
                                        np.asarray(d))
+                    kc = (scene.cluster.k, scene.cluster.v0.shape[0])
+                    if kc not in rates_cache:
+                        rates_cache[kc] = measure_sweep_rates(
+                            k=kc[0], c_pad=kc[1])
                     sol = sol_report(n / trav_dt, stats, peaks,
                                      scene.cluster.k,
-                                     scene.cluster.v0.shape[0])
+                                     scene.cluster.v0.shape[0],
+                                     rates=rates_cache[kc])
                     entry["traversal_mrays_per_s"] = round(
                         n / trav_dt / 1e6, 2)
                     entry["sol_pct"] = round(sol["sol_pct"], 1)
+                    entry["kernel_step_ns"] = sol.get("kernel_step_ns")
+                    entry["kernel_leaf_step_ns"] = sol.get(
+                        "kernel_leaf_step_ns")
+                    entry["analytic_sol_pct"] = round(
+                        sol["analytic_sol_pct"], 1)
                     entry["sol_pct_ideal_coherence"] = round(
                         sol["sol_pct_ideal"], 1)
                     entry["mean_tile_steps"] = round(

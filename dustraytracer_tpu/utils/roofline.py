@@ -141,6 +141,88 @@ def measure_peaks(repeats: int = 3) -> dict:
     return peaks
 
 
+def measure_sweep_rates(k: int = 64, c_pad: int = 256,
+                        m: int = 1024, repeats: int = 4) -> dict:
+    """Calibrate the sweep kernel's OWN best-case step rates by running
+    the real kernel on synthetic always-enter chain scenes:
+
+    - internal chain: every node is internal with an everything-box, so
+      every ray walks all m nodes -> per-NODE-step cost with zero
+      divergence (the kernel skeleton's speed of light),
+    - leaf chain: every node is an always-hit leaf -> per-LEAF-step cost
+      (adds the one-hot matvec + K-wide Möller–Trumbore).
+
+    These are exact upper bounds for the kernel as built: a real workload
+    whose tiles execute S node steps and L leaf steps cannot run faster
+    than (S-L)*step_ns + L*leaf_ns. sol_pct measured against this is
+    workload efficiency (divergence + paging + sort quality), cleanly
+    separated from "is the skeleton itself fast" (step_ns, reported).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dustraytracer_tpu.accel.cluster import ClusterBvh
+    from dustraytracer_tpu.ops.traverse_sweep import traverse_cluster_sweep
+
+    big = 1e30
+    # enough tiles that the m2-m1 step-count delta dwarfs the ~10-30 ms
+    # tunnel timing jitter (32 tiles x 896 steps x O(us) >> jitter)
+    n_rays = 32 * TILE
+
+    def chain(leaf: bool):
+        node_min = np.full((m, 3), -big, np.float32)
+        node_max = np.full((m, 3), big, np.float32)
+        skip = np.arange(1, m + 1, dtype=np.int32)  # i -> i+1; last -> m
+        if leaf:
+            cluster = np.zeros(m, np.int32)  # all leaves, cluster 0
+        else:
+            cluster = np.full(m, -1, np.int32)  # all internal
+        v0 = np.zeros((c_pad, k, 3), np.float32)
+        e1 = np.zeros((c_pad, k, 3), np.float32)
+        e2 = np.zeros((c_pad, k, 3), np.float32)
+        # degenerate triangles: det == 0 -> never a hit, so rays never
+        # terminate early and every node is stepped
+        tri_idx = np.full((c_pad, k), -1, np.int32)
+        return ClusterBvh(
+            node_min=jnp.asarray(node_min), node_max=jnp.asarray(node_max),
+            node_skip=jnp.asarray(skip), node_cluster=jnp.asarray(cluster),
+            v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
+            tri_idx=jnp.asarray(tri_idx), n_nodes=m, n_clusters=1, k=k)
+
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.uniform(-1, 1, (n_rays, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n_rays, 3)).astype(np.float32))
+
+    def _time(cb):
+        trav = jax.jit(lambda o, d: jnp.sum(
+            traverse_cluster_sweep(cb, o, d)["t"]))
+        float(trav(o, d))
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(trav(o, d))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n_tiles = n_rays // TILE
+    m1, m2 = 128, m  # delta cancels the fixed dispatch latency
+
+    def rate(leaf):
+        nonlocal m
+        m_save = m
+        m = m1
+        t1 = _time(chain(leaf))
+        m = m2
+        t2 = _time(chain(leaf))
+        m = m_save
+        return max(t2 - t1, 1e-9) / ((m2 - m1) * n_tiles)
+
+    step_s = rate(leaf=False)
+    leaf_s = rate(leaf=True)
+    return {"step_ns": step_s * 1e9,
+            "leaf_step_ns": max(leaf_s, step_s) * 1e9}
+
+
 def _sorted_rays(cluster, origin, direction):
     """Sort rays exactly as the integrator's _sorted_tracers does."""
     import jax.numpy as jnp
@@ -266,8 +348,14 @@ def walk_stats(cluster, origin, direction, max_tiles: int = 64) -> dict:
 
 
 def sweep_sol(stats: dict, peaks: dict, k: int, c_pad: int) -> dict:
-    """Price the sweep kernel's work at measured peaks -> SoL rays/s."""
-    vpu = peaks["vpu_f32_tflops"] * 1e12
+    """Price the sweep kernel's work at measured peaks -> SoL rays/s.
+
+    Units: SLAB_OPS/MT_OPS count VPU *operations* (mul, sub, min, max,
+    cmp, select — one issue slot each). The measured vpu peak is in
+    FLOP/s where one fused multiply-add = 2 FLOPs = ONE op, so the op
+    rate is flops/2. (Before this correction the model under-priced VPU
+    work 2x and measured kernels "exceeded" speed-of-light.)"""
+    vpu = peaks["vpu_f32_tflops"] * 1e12 / 2.0  # ops/s, see docstring
     mxu = peaks["mxu_f32_highest_tflops"] * 1e12
     hbm = peaks["hbm_gbps"] * 1e9
     n = stats["n_rays"]
@@ -304,10 +392,34 @@ def sweep_sol(stats: dict, peaks: dict, k: int, c_pad: int) -> dict:
 
 
 def sol_report(measured_rays_per_s: float, stats: dict, peaks: dict,
-               k: int, c_pad: int) -> dict:
+               k: int, c_pad: int, rates: dict | None = None) -> dict:
+    """sol_pct definitions:
+
+    - with `rates` (from measure_sweep_rates, same k/c_pad): measured
+      throughput vs the kernel's OWN calibrated zero-divergence step
+      rates applied to the exact executed step counts — a true upper
+      bound for the kernel as built, so sol_pct <= ~100 by construction.
+      This is the headline number.
+    - analytic_* : the raw-arithmetic model priced at measured machine
+      peaks (kept as a diagnostic; its VPU-op pricing carries real
+      calibration uncertainty on small (1, TILE) vectors).
+    """
     s = sweep_sol(stats, peaks, k, c_pad)
     s["measured_rays_per_s"] = measured_rays_per_s
-    s["sol_pct"] = 100.0 * measured_rays_per_s / s["sol_rays_per_s"]
-    s["sol_pct_ideal"] = (100.0 * measured_rays_per_s
-                          / s["sol_rays_per_s_ideal"])
+    s["analytic_sol_pct"] = 100.0 * measured_rays_per_s / s["sol_rays_per_s"]
+    s["analytic_sol_pct_ideal"] = (100.0 * measured_rays_per_s
+                                   / s["sol_rays_per_s_ideal"])
+    if rates is not None:
+        steps = stats["tile_steps"].astype(np.float64)
+        leafs = stats["tile_leaf_steps"].astype(np.float64)
+        t_model = ((steps - leafs).sum() * rates["step_ns"]
+                   + leafs.sum() * rates["leaf_step_ns"]) * 1e-9
+        model_rays_per_s = stats["n_rays"] / max(t_model, 1e-12)
+        s["kernel_step_ns"] = round(rates["step_ns"], 1)
+        s["kernel_leaf_step_ns"] = round(rates["leaf_step_ns"], 1)
+        s["sol_rays_per_s_kernel"] = model_rays_per_s
+        s["sol_pct"] = 100.0 * measured_rays_per_s / model_rays_per_s
+    else:
+        s["sol_pct"] = s["analytic_sol_pct"]
+    s["sol_pct_ideal"] = s["analytic_sol_pct_ideal"]
     return s
