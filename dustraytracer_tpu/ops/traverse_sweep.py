@@ -65,7 +65,10 @@ TILE = 2048
 # compiles / HTTP-500 aborts with a 91 KB monolithic SMEM table — paging
 # keeps the resident scalar footprint at 2*PAGE*8 words regardless of
 # scene size.
-MAX_SMEM_NODES = 1024
+MAX_SMEM_NODES = 512  # m=1024 resident tables hit the 1 MB SMEM cap
+# (compiler: 'Used 1.00M of 1.00M smem') once pipeline bookkeeping is
+# counted; 512 leaves margin and covers every bundled scene's resident
+# case (dense_monkey: 493 nodes) — bigger scenes page
 # nodes per SMEM page. Must keep BOTH flat page chunks 1024-aligned
 # (Mosaic tiles 1-D refs at (1024,) and rejects unaligned slices):
 # PAGE*6 f32 box words and PAGE*2 i32 link words -> PAGE multiple of 512.

@@ -142,7 +142,7 @@ def measure_peaks(repeats: int = 3) -> dict:
 
 
 def measure_sweep_rates(k: int = 64, c_pad: int = 256,
-                        m: int = 1024, repeats: int = 4) -> dict:
+                        m: int = 512, repeats: int = 5) -> dict:
     """Calibrate the sweep kernel's OWN best-case step rates by running
     the real kernel on synthetic always-enter chain scenes:
 
@@ -205,7 +205,7 @@ def measure_sweep_rates(k: int = 64, c_pad: int = 256,
         return best
 
     n_tiles = n_rays // TILE
-    m1, m2 = 128, m  # delta cancels the fixed dispatch latency
+    m1, m2 = 64, m  # delta cancels the fixed dispatch latency
 
     def rate(leaf):
         nonlocal m
