@@ -314,32 +314,57 @@ def ray_sort_key(lo, hi, o, d):
 def _sorted_tracers(scene, closest, anyhit):
     """Ray sorting: traverse in (direction-octant, origin-Morton) order.
 
-    The sweep kernel's per-tile cost is the union of BVH nodes its 512
+    The sweep kernel's per-tile cost is the union of BVH nodes its
     lanes touch, so incoherent bounce rays are its worst case. Sorting
     rays before traversal packs similar rays into the same tile (the
     wavefront analog of the GPU's warp-coherence from spatial locality);
-    results are scattered back to ray order, so this wrapper is
-    invisible to callers. Key = 3-bit octant + 15-bit Morton code of the
-    origin in scene-bbox coordinates.
+    results are restored to ray order, so this wrapper is invisible to
+    callers. Key = 3-bit octant + 15-bit Morton code of the origin in
+    scene-bbox coordinates.
+
+    Both permutations ride multi-operand `lax.sort`: the sort network
+    moves the ray components along with the key, and the inverse is a
+    second sort keyed by the original lane index. TPU has no hardware
+    gather, so the obvious argsort + `rows[perm]` / `rows[inv]`
+    formulation serializes into per-row HBM loads — measured 25.6 ms +
+    48.9 ms per million rays on v5e vs 8.7 ms + 7.6 ms for the payload
+    sorts (tools/bench_permute.py), a 4.6x round-trip win that removed
+    ~35% of dense-scene frame time.
+
+    Traversal results are stop-gradiented discrete decisions and the
+    trace phase runs on stop-gradient inputs, so no sort needs a
+    gradient path.
     """
     lo = scene.node_min[0]
     hi = scene.node_max[0]
 
-    def _permute(o, d):
+    def _sort_rays(o, d):
+        n = o.shape[0]
         key = jax.lax.stop_gradient(ray_sort_key(lo, hi, o, d))
-        perm = jnp.argsort(key)
-        inv = jnp.zeros_like(perm).at[perm].set(
-            jnp.arange(perm.shape[0], dtype=perm.dtype))
-        return perm, inv
+        o = jax.lax.stop_gradient(o)
+        d = jax.lax.stop_gradient(d)
+        r = jax.lax.sort(
+            (key, o[:, 0], o[:, 1], o[:, 2],
+             d[:, 0], d[:, 1], d[:, 2],
+             jnp.arange(n, dtype=jnp.int32)),
+            dimension=0, num_keys=1)
+        return (jnp.stack(r[1:4], axis=-1), jnp.stack(r[4:7], axis=-1),
+                r[7])
 
     def closest_sorted(o, d):
-        perm, inv = _permute(o, d)
-        r = closest(o[perm], d[perm])
-        return {k: v[inv] for k, v in r.items()}
+        os_, ds_, lane = _sort_rays(o, d)
+        r = closest(os_, ds_)
+        out = jax.lax.sort(
+            (lane, r["t"], r["hit_idx"], r["visits"]),
+            dimension=0, num_keys=1)
+        return {"t": out[1], "hit_idx": out[2], "visits": out[3]}
 
     def anyhit_sorted(o, d):
-        perm, inv = _permute(o, d)
-        return anyhit(o[perm], d[perm])[inv]
+        os_, ds_, lane = _sort_rays(o, d)
+        occ = anyhit(os_, ds_)
+        out = jax.lax.sort((lane, occ.astype(jnp.int32)),
+                           dimension=0, num_keys=1)
+        return out[1] != 0
 
     return closest_sorted, anyhit_sorted
 
