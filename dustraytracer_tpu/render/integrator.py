@@ -77,21 +77,27 @@ def _resolve_fetch(scene, settings) -> str:
 
 def _fetch_material(scene, mats, fetch: str):
     """Per-ray material attributes (albedo, tex id, emissive, metallic,
-    roughness) in one fused fetch (one one-hot matmul or 5 gathers)."""
+    roughness, transmission, ior) in one fused fetch (one one-hot matmul
+    or 7 gathers)."""
     if fetch == "onehot":
         tab = jnp.concatenate(
             [scene.mat_albedo, scene.mat_emissive,
              scene.mat_metallic[:, None], scene.mat_roughness[:, None],
-             scene.mat_albedo_tex.astype(jnp.float32)[:, None]], axis=1)
+             scene.mat_albedo_tex.astype(jnp.float32)[:, None],
+             scene.mat_transmission[:, None], scene.mat_ior[:, None]],
+            axis=1)
         rows = _onehot_rows(mats, tab)
         return {"albedo": rows[:, 0:3], "emissive": rows[:, 3:6],
                 "metallic": rows[:, 6], "roughness": rows[:, 7],
-                "tex": rows[:, 8].astype(jnp.int32)}
+                "tex": rows[:, 8].astype(jnp.int32),
+                "transmission": rows[:, 9], "ior": rows[:, 10]}
     return {"albedo": scene.mat_albedo[mats],
             "emissive": scene.mat_emissive[mats],
             "metallic": scene.mat_metallic[mats],
             "roughness": scene.mat_roughness[mats],
-            "tex": scene.mat_albedo_tex[mats]}
+            "tex": scene.mat_albedo_tex[mats],
+            "transmission": scene.mat_transmission[mats],
+            "ior": scene.mat_ior[mats]}
 
 
 def shade_hits(scene, origin, direction, hit_idx, fetch: str = "gather",
@@ -649,6 +655,59 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
         lobe_ratio = jnp.where(live_hit,
                                w_lobe / jax.lax.stop_gradient(w_lobe), 1.0)
         throughput = throughput * lobe_ratio[:, None]
+
+        # --- glass (transmission) lobe ---
+        # The reference's Material carries Transmission + refractive_index
+        # and Random.cu declares refract()/reflectance() "for future
+        # glass", but its integrator never implemented it (TraceRay.cu:34
+        # "does not support glass material"). We do: a dielectric lane
+        # (not metal) transmits with P = transmission; a transmitting lane
+        # refracts by Snell or mirror-reflects on total internal
+        # reflection / a Schlick-Fresnel coin. Both discrete choices are
+        # drawn identically in the trace and shade phases (same RNG
+        # stream) and reweighted by w/stop_grad(w), so gradients flow to
+        # `transmission` (choice probability) and to `ior` (through the
+        # refracted direction and Fresnel weight). Tint = albedo (already
+        # multiplied into throughput above): colored glass.
+        rng, u_glass = random_float(rng)
+        rng, u_fresnel = random_float(rng)
+        transm = matd["transmission"]
+        ior = jnp.maximum(matd["ior"], 1.0 + 1e-4)
+        is_glass = (~is_metal) & (
+            u_glass < jax.lax.stop_gradient(transm))
+        nrm = sh["normal"]  # viewer-flipped: cos_in >= 0 below
+        eta = jnp.where(sh["front_face"], 1.0 / ior, ior)
+        cos_in = jnp.clip(-jnp.sum(d_n * nrm, axis=-1), 0.0, 1.0)
+        k = 1.0 - eta * eta * (1.0 - cos_in * cos_in)
+        tir = k < 0.0
+        # double-where: sqrt'(0) = inf would NaN-poison d/d(ior) through
+        # the refl/refr select on TIR lanes (0 cotangent * inf = NaN)
+        k_safe = jnp.where(tir, 1.0, jnp.maximum(k, 0.0))
+        refr = (eta[:, None] * (d_n + cos_in[:, None] * nrm)
+                - jnp.sqrt(k_safe)[:, None] * nrm)
+        # Schlick reflectance (the reference's declared
+        # `reflectance(cosine, ref_idx)`, Random.cu)
+        r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
+        fres = r0 + (1.0 - r0) * (1.0 - cos_in) ** 5
+        fres = jnp.clip(fres, 0.0, 1.0)
+        reflect = tir | (u_fresnel < jax.lax.stop_gradient(fres))
+        glass_dir = jnp.where(reflect[:, None], refl, refr) \
+            + roughness[:, None] * ball  # frosted-glass fuzz
+        bounce_dir = jnp.where(is_glass[:, None], glass_dir, bounce_dir)
+        # transmitted rays continue THROUGH the surface: offset along
+        # -normal instead of +normal
+        transmitted = is_glass & ~reflect
+        new_origin = jnp.where(transmitted[:, None],
+                               sh["world_position"] - nrm * 1e-3,
+                               new_origin)
+        # reweights: glass-vs-diffuse choice, then reflect-vs-refract
+        w_g = jnp.where(is_glass, transm, 1.0 - transm)
+        w_f = jnp.where(reflect, fres, 1.0 - fres)
+        w_f = jnp.where(is_glass & ~tir, w_f, 1.0)  # TIR is deterministic
+        w = jnp.clip(w_g * w_f, 1e-3, 1.0)
+        glass_ratio = jnp.where(live_hit,
+                                w / jax.lax.stop_gradient(w), 1.0)
+        throughput = throughput * glass_ratio[:, None]
 
     new_carry = (new_origin, bounce_dir, throughput, light, alive, rng)
     ys = {"hit_idx": hit_idx, "occluded": occluded, "survive": survive}

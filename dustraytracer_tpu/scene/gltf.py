@@ -77,6 +77,15 @@ class GltfMaterial:
     alpha_mode: str = "OPAQUE"  # OPAQUE | MASK | BLEND
     alpha_cutoff: float = 0.5
     double_sided: bool = False
+    # Glass: the reference's Material POD carries Transmission and
+    # refractive_index (`Material.cuh:10-22`) and Random.cu declares
+    # refract/reflectance helpers "for future glass", but the integrator
+    # never implemented it (`TraceRay.cu:34` "does not support glass
+    # material"). We parse the standard glTF sources for the same two
+    # quantities — KHR_materials_transmission / KHR_materials_ior — and
+    # DO shade them (integrator pbr mode).
+    transmission: float = 0.0
+    ior: float = 1.5
 
 
 @dataclass
@@ -213,12 +222,16 @@ def _node_matrix(node: dict) -> np.ndarray:
 def _parse_material(mat: dict) -> GltfMaterial:
     pbr = mat.get("pbrMetallicRoughness", {})
     base = np.array(pbr.get("baseColorFactor", [1, 1, 1, 1]), np.float32)[:3]
+    ext = mat.get("extensions", {})
 
     def tex_index(d, key):
         t = d.get(key)
         return t["index"] if t is not None else -1
 
     return GltfMaterial(
+        transmission=float(ext.get("KHR_materials_transmission", {})
+                           .get("transmissionFactor", 0.0)),
+        ior=float(ext.get("KHR_materials_ior", {}).get("ior", 1.5)),
         name=mat.get("name", ""),
         base_color=base,
         metallic=float(pbr.get("metallicFactor", 1.0)),

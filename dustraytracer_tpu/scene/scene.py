@@ -73,6 +73,10 @@ class Scene:
     mat_metallic: jax.Array   # (K,) f32
     mat_roughness: jax.Array  # (K,) f32
     mat_albedo_tex: jax.Array  # (K,) i32  texture index or -1
+    # glass (parity with the reference's declared-but-never-shaded
+    # Material::Transmission / refractive_index, Material.cuh:10-22)
+    mat_transmission: jax.Array  # (K,) f32
+    mat_ior: jax.Array           # (K,) f32
 
     # --- textures (T, H, W, 4) uint8 stack, per-texture true dims ---
     tex_stack: jax.Array  # (T, H, W, 4) u8
@@ -190,12 +194,16 @@ def build_scene(doc: GltfDocument, leaf_target: int = MAX_LEAF,
     metallic = np.zeros(K, np.float32)
     roughness = np.ones(K, np.float32)
     alb_tex = np.full(K, -1, np.int32)
+    transmission = np.zeros(K, np.float32)
+    ior = np.full(K, 1.5, np.float32)
     for i, m in enumerate(mats):
         albedo[i] = m.base_color
         emissive[i] = m.emissive
         metallic[i] = m.metallic
         roughness[i] = m.roughness
         alb_tex[i] = m.base_color_texture
+        transmission[i] = m.transmission
+        ior[i] = m.ior
 
     # --- textures: pad the image list to one (T, H, W, 4) stack ---
     images = doc.images or []
@@ -240,6 +248,8 @@ def build_scene(doc: GltfDocument, leaf_target: int = MAX_LEAF,
         mat_metallic=jnp.asarray(metallic),
         mat_roughness=jnp.asarray(roughness),
         mat_albedo_tex=jnp.asarray(alb_tex),
+        mat_transmission=jnp.asarray(transmission),
+        mat_ior=jnp.asarray(ior),
         tex_stack=jnp.asarray(stack),
         tex_hw=jnp.asarray(hw),
         tex_has_alpha=jnp.asarray(has_alpha),
