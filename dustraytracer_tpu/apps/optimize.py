@@ -34,6 +34,7 @@ def build_parser():
                    help="render target from true params, scramble, recover")
     p.add_argument("--optimize", nargs="+", default=["albedo"],
                    choices=["albedo", "emissive", "roughness", "metallic",
+                            "transmission", "ior",
                             "lights", "camera", "vertices", "textures"])
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=2e-2)
@@ -73,6 +74,8 @@ PARAM_KEYS = {
     "emissive": "mat_emissive",
     "roughness": "mat_roughness",
     "metallic": "mat_metallic",
+    "transmission": "mat_transmission",
+    "ior": "mat_ior",
     "vertices": "tri_pos",
     "textures": "tex_stack",
 }
@@ -85,6 +88,8 @@ PARAM_BOUNDS = {
     "mat_emissive": (0.0, None),
     "mat_roughness": (0.0, 1.0),
     "mat_metallic": (0.0, 1.0),
+    "mat_transmission": (0.0, 1.0),
+    "mat_ior": (1.0, 3.0),
     "tex_stack": (0.0, 1.0),
 }
 
@@ -144,7 +149,8 @@ def main(argv=None) -> int:
         settings = settings.replace(soft_edges=float(soft))
     if args.nee_cosine:
         settings = settings.replace(nee_cosine=True)
-    if {"emissive", "metallic", "roughness"} & set(args.optimize):
+    if {"emissive", "metallic", "roughness", "transmission",
+            "ior"} & set(args.optimize):
         # these parameters only shade in the PBR model
         settings = settings.replace(shading="pbr")
     lights = LightParams.from_settings(settings)

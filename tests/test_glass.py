@@ -172,3 +172,48 @@ def test_gltf_transmission_extension_parsed(tmp_path):
     sc = load_scene(str(p))
     assert float(sc.mat_transmission[0]) == pytest.approx(0.8)
     assert float(sc.mat_ior[0]) == pytest.approx(1.31)
+
+
+def test_transmission_descent_recovery():
+    """Inverse rendering: recover a scrambled transmission by gradient
+    descent against a rendered target (BASELINE north-star style)."""
+    import optax
+
+    true_t = 0.85
+    scene = glass_scene(transmission=true_t, ior=1.0)
+    cam = make_camera(position=(0, 1, 2), look_at=(0, 1, -1), vfov_deg=40)
+    lights = LightParams.from_settings(PBR)
+    ids = jnp.arange(24 * 24, dtype=jnp.int32)
+
+    def render(transm, frame):
+        sc = scene.replace(mat_transmission=transm)
+        return render_pixels(sc, cam, lights, frame, ids,
+                             width=24, height=24, settings=PBR)
+
+    def render_batch(transm, frame0, k=2):
+        return sum(render(transm, frame0 + jnp.uint32(j))
+                   for j in range(k)) / k
+
+    target = render_batch(scene.mat_transmission, jnp.uint32(9999), k=4)
+
+    def loss(transm, frame):
+        # two-sample unbiased MSE: E[(A-y)(B-y)] = (mu-y)^2 for
+        # INDEPENDENT renders A, B. Plain mean((X-y)^2) carries a
+        # +Var(X) term whose t(1-t) shape drives the stochastic-branch
+        # parameter to the domain boundary (observed: t -> 1.0).
+        a = render_batch(transm, frame)
+        b = render_batch(transm, frame + jnp.uint32(1000000))
+        return jnp.mean((a - target) * (b - target))
+
+    # stochastic frames: each step redraws the discrete lobe pattern, so
+    # the w/stop_grad(w) estimator averages over branch configurations
+    # instead of being pinned to one recorded pattern
+    tx = optax.adam(5e-2)
+    params = scene.mat_transmission.at[0].set(0.2)
+    state = tx.init(params)
+    step = jax.jit(lambda p, s, f: (lambda g: tx.update(g, s, p))(
+        jax.grad(loss)(p, f)))
+    for i in range(80):
+        upd, state = step(params, state, jnp.uint32(4 * i))
+        params = jnp.clip(optax.apply_updates(params, upd), 0.0, 1.0)
+    assert abs(float(params[0]) - true_t) < 0.12
