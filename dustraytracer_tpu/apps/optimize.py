@@ -89,7 +89,10 @@ PARAM_BOUNDS = {
     "mat_roughness": (0.0, 1.0),
     "mat_metallic": (0.0, 1.0),
     "mat_transmission": (0.0, 1.0),
-    "mat_ior": (1.0, 3.0),
+    # lower bound sits ABOVE the integrator's maximum(ior, 1+1e-4) clamp:
+    # at exactly 1.0 the clamp's gradient is zero and a clipped ior could
+    # never recover
+    "mat_ior": (1.01, 3.0),
     "tex_stack": (0.0, 1.0),
 }
 

@@ -85,7 +85,7 @@ UNROLL = 4
 
 
 def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
-            node_s, t_s, idx_s, vis_s, *paging, m, c, k, anyhit,
+            node_s, t_s, idx_s, vis_s, cnt_s, *paging, m, c, k, anyhit,
             paged=False, m_pad=0):
     if paged:
         box_pg, link_pg, sems = paging
@@ -109,6 +109,8 @@ def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
     t_s[:] = lim
     idx_s[:] = jnp.full((1, t), -1, jnp.int32)
     vis_s[:] = jnp.zeros((1, t), jnp.int32)
+    cnt_s[0] = 0  # executed while-iterations (windows of UNROLL nodes)
+    cnt_s[1] = 0  # executed leaf substeps (matvec + MT actually run)
 
     def cond(carry):
         step, i, _q = carry
@@ -150,6 +152,7 @@ def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
             _substep(jnp.minimum(i0 + s, last))
         # the min over lanes strictly increases -> <= m iterations total
         # (the step counter is belt-and-braces against layout bugs)
+        cnt_s[0] = cnt_s[0] + 1
         return step + 1, jnp.min(node_s[:]), q
 
     def _substep(i):
@@ -213,6 +216,7 @@ def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
 
         @pl.when(is_leaf & jnp.any(enter))
         def _leaf():
+            cnt_s[1] = cnt_s[1] + 1
             # --- uniform cluster fetch: ONE one-hot matvec over the
             # fused component table, O(K*C) per leaf VISITED, not per
             # step (Mosaic forbids unaligned lane-dim dynamic slices,
@@ -274,7 +278,13 @@ def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
     out_ref[0:1, :] = t_s[:]
     out_ref[1:2, :] = idx_s[:].astype(jnp.float32)
     out_ref[2:3, :] = vis_s[:].astype(jnp.float32)
-    out_ref[3:8, :] = jnp.zeros((5, t), jnp.float32)
+    # rows 3/4: per-tile EXECUTED work counters (broadcast scalars) — the
+    # exact quantities the speed-of-light model prices (utils/roofline).
+    out_ref[3:4, :] = jnp.full((1, t), cnt_s[0], jnp.int32) \
+        .astype(jnp.float32)
+    out_ref[4:5, :] = jnp.full((1, t), cnt_s[1], jnp.int32) \
+        .astype(jnp.float32)
+    out_ref[5:8, :] = jnp.zeros((3, t), jnp.float32)
 
 
 _OPAQUE_CACHE = {}
@@ -385,7 +395,8 @@ def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
     scratch = [pltpu.VMEM((1, TILE), jnp.int32),
                pltpu.VMEM((1, TILE), jnp.float32),
                pltpu.VMEM((1, TILE), jnp.int32),
-               pltpu.VMEM((1, TILE), jnp.int32)]
+               pltpu.VMEM((1, TILE), jnp.int32),
+               pltpu.SMEM((2,), jnp.int32)]
     if paged:
         scratch += [pltpu.SMEM((2 * PAGE * 6,), jnp.float32),
                     pltpu.SMEM((2 * PAGE * 2,), jnp.int32),
@@ -411,4 +422,9 @@ def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
     visits = packed[:, 2, :].reshape(-1)[:n].astype(jnp.int32)
     stop = jax.lax.stop_gradient
     return {"hit_idx": stop(hit_idx), "t": stop(hit_t),
-            "visits": stop(visits)}
+            "visits": stop(visits),
+            # per-tile EXECUTED work (see _kernel tail): the attribution
+            # inputs for the speed-of-light model. Dropped by the sorted-
+            # tracer wrappers; read by bench/roofline tooling.
+            "exec_windows": stop(packed[:, 3, 0].astype(jnp.int32)),
+            "exec_leafs": stop(packed[:, 4, 0].astype(jnp.int32))}

@@ -598,6 +598,18 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
         else:
             occluded = traced["occluded"]
         contrib = sun_col[None, :] * throughput
+        if settings.shading == "pbr":
+            # A dielectric lane transmits with P = transmission, so only
+            # the (1-transmission) reflected fraction sees the diffuse-
+            # style sun term — without this, clear glass collected the
+            # full sun contribution as if it were diffuse. Remaining
+            # known bias (documented): the shadow ray's anyhit treats
+            # transmissive panes as opaque occluders (hard shadows
+            # behind glass) — matching the reference's own limitation
+            # (`TraceRay.cu:34` "does not support glass material").
+            diffuse_frac = 1.0 - (1.0 - matd["metallic"]) \
+                * matd["transmission"]
+            contrib = contrib * diffuse_frac[:, None]
         if settings.nee_cosine:  # opt-in physical N·L (off = reference)
             d_n = shadow_dir / jnp.linalg.norm(shadow_dir, axis=-1,
                                                keepdims=True)
@@ -700,8 +712,13 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
         new_origin = jnp.where(transmitted[:, None],
                                sh["world_position"] - nrm * 1e-3,
                                new_origin)
-        # reweights: glass-vs-diffuse choice, then reflect-vs-refract
-        w_g = jnp.where(is_glass, transm, 1.0 - transm)
+        # reweights: glass-vs-diffuse choice, then reflect-vs-refract.
+        # Metal lanes never flipped the glass coin (is_glass requires
+        # ~is_metal), so their branch weight is 1 — gating by is_metal
+        # keeps d(image)/d(transmission) unbiased when metallic > 0
+        # (ungated, metal lanes picked up a spurious (1-transm) factor).
+        w_g = jnp.where(is_glass, transm,
+                        jnp.where(is_metal, 1.0, 1.0 - transm))
         w_f = jnp.where(reflect, fres, 1.0 - fres)
         w_f = jnp.where(is_glass & ~tir, w_f, 1.0)  # TIR is deterministic
         w = jnp.clip(w_g * w_f, 1e-3, 1.0)

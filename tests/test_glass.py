@@ -132,6 +132,43 @@ def test_ior_gradient_flows():
     assert np.abs(g[0]) > 0.0
 
 
+def test_metal_lane_transmission_gradient_unbiased():
+    """A fully-metallic pane never flips the glass coin, so its
+    transmission parameter must receive ZERO gradient. (Regression: the
+    glass reweight w_g applied a (1-transmission) branch likelihood to
+    metal lanes whose branch never involved the coin, injecting spurious
+    d/d(transmission) bias whenever metallic > 0.)"""
+    scene = glass_scene(transmission=0.5, ior=1.5)
+    scene = scene.replace(
+        mat_metallic=scene.mat_metallic.at[0].set(1.0))
+    cam = make_camera(position=(0, 1, 2), look_at=(0, 1, -1), vfov_deg=40)
+    lights = LightParams.from_settings(PBR)
+    ids = jnp.arange(16 * 16, dtype=jnp.int32)
+
+    def loss(transm):
+        sc = scene.replace(mat_transmission=transm)
+        img = render_pixels(sc, cam, lights, jnp.uint32(0), ids,
+                            width=16, height=16, settings=PBR)
+        return jnp.mean(img)
+
+    g = np.asarray(jax.grad(loss)(scene.mat_transmission))
+    assert np.isfinite(g).all()
+    np.testing.assert_allclose(g[0], 0.0, atol=1e-7)
+
+
+def test_sun_nee_scaled_by_transmission():
+    """Clear glass (transmission=1, ior=1) must not collect the diffuse
+    sun NEE term: with sunlight on, the pane render equals the paneless
+    one. (Regression: NEE previously added the full sun contribution at
+    glass hit points as if the surface were diffuse.)"""
+    sun = RenderSettings(bounces=3, shading="pbr", enable_tonemap=False,
+                         enable_gamma=False, enable_sunlight=True)
+    with_pane = _render(glass_scene(transmission=1.0, ior=1.0), sun)
+    without = _render(glass_scene(pane=False), sun)
+    assert np.isfinite(with_pane).all()
+    np.testing.assert_allclose(with_pane, without, atol=1e-4)
+
+
 def test_gltf_transmission_extension_parsed(tmp_path):
     """KHR_materials_transmission / KHR_materials_ior land in the scene
     material tables."""

@@ -90,6 +90,24 @@ def test_film_running_mean(tri_scene, cam):
     assert int(film.frame) == 3
 
 
+def test_batched_accumulate_matches_per_sample(tri_scene, cam):
+    """film_accumulate (k samples in one dispatch, traced count) must
+    reproduce the sample-by-sample accumulation bit-for-bit: same RNG
+    frame indices, same adds, just fused into one device program."""
+    s = RenderSettings(bounces=1)
+    lights = LightParams.from_settings(s)
+    ref = film_init(W, H)
+    for f in range(5):
+        smp = render_sample(tri_scene, cam, lights, jnp.uint32(f),
+                            width=W, height=H, settings=s)
+        ref = film_add(ref, smp)
+    batched = render_progressive(tri_scene, cam, s, width=W, height=H,
+                                 spp=5, samples_per_dispatch=3)
+    assert int(batched.frame) == 5
+    np.testing.assert_allclose(np.asarray(film_image(batched)),
+                               np.asarray(film_image(ref)), rtol=1e-6)
+
+
 def test_max_samples_gate(tri_scene, cam):
     """render_progressive must stop at settings.max_samples
     (`Renderer.cu:82`)."""

@@ -72,18 +72,23 @@ def main():
     rng = seed_pixels(ids.astype(jnp.uint32), jnp.uint32(0))
     _rng, o, d = generate_rays(camera, W, H, rng, pixel_ids=ids)
 
+    # the payload-sort path _sorted_tracers actually uses: multi-operand
+    # lax.sort moves the ray components with the key (no argsort+gather)
     @jax.jit
     def sortperm(o, d):
         key = ray_sort_key(scene.node_min[0], scene.node_max[0], o, d)
-        perm = jnp.argsort(key)
-        inv = jnp.zeros_like(perm).at[perm].set(
-            jnp.arange(perm.shape[0], dtype=perm.dtype))
-        return o[perm], d[perm], perm, inv
+        r = jax.lax.sort(
+            (key, o[:, 0], o[:, 1], o[:, 2],
+             d[:, 0], d[:, 1], d[:, 2],
+             jnp.arange(o.shape[0], dtype=jnp.int32)),
+            dimension=0, num_keys=1)
+        return (jnp.stack(r[1:4], axis=-1), jnp.stack(r[4:7], axis=-1),
+                r[7])
 
     dt = bench(sortperm, o, d)
-    print(f"sort+permute:        {dt*1e3:8.2f} ms   (per trace call)")
+    print(f"ray payload-sort:    {dt*1e3:8.2f} ms   (per trace call)")
 
-    os_, ds_, perm, inv = sortperm(o, d)
+    os_, ds_, lane = sortperm(o, d)
 
     trav = jax.jit(lambda o, d: traverse_cluster_sweep(scene.cluster, o, d))
     dt = bench(trav, os_, ds_)
@@ -95,10 +100,13 @@ def main():
 
     @jax.jit
     def unsort(res):
-        return {k: v[inv] for k, v in res.items()}
+        out = jax.lax.sort(
+            (lane, res["t"], res["hit_idx"], res["visits"]),
+            dimension=0, num_keys=1)
+        return {"t": out[1], "hit_idx": out[2], "visits": out[3]}
 
     dt = bench(unsort, res)
-    print(f"scatter-back (x3):   {dt*1e3:8.2f} ms   (per trace call)")
+    print(f"inverse payload-sort:{dt*1e3:8.2f} ms   (per trace call)")
 
     for fetch in ("onehot", "gather"):
         sh = jax.jit(lambda o, d, h: shade_hits(scene, o, d, h, fetch))
