@@ -68,16 +68,16 @@ def main(argv=None):
     from dustraytracer_tpu.scene import load_scene, make_camera
     from dustraytracer_tpu.scene.settings import LightParams, RenderSettings
 
+    from dustraytracer_tpu.utils.roofline import delta_time_dispatch
+
     report = {"backend": jax.default_backend(),
-              "device": str(jax.devices()[0]), "configs": []}
-
-    peaks = None
-    if not args.skip_sol:
-        from dustraytracer_tpu.utils.roofline import measure_peaks
-
-        peaks = measure_peaks()
-        report["peaks"] = {k: round(v, 2) for k, v in peaks.items()
-                           if isinstance(v, float)}
+              "device": str(jax.devices()[0]),
+              "timing": "device seconds via delta timing "
+                        "(utils/roofline.py delta_time_dispatch); "
+                        "*_ms_per_sample_dispatched adds the ~5-25 ms "
+                        "axon-tunnel dispatch+fetch latency a single "
+                        "un-pipelined sample pays",
+              "configs": []}
     rates_cache = {}
 
     for name, scene_file, w, h, bounces, spp in CONFIGS:
@@ -109,81 +109,74 @@ def main(argv=None):
             t0 = time.perf_counter()
             float(fwd_j(jnp.uint32(0)))  # scalar fetch = real fence
             entry["fwd_compile_s"] = round(time.perf_counter() - t0, 2)
-            float(fwd_j(jnp.uint32(1)))  # warm dispatch
-            t0 = time.perf_counter()
-            for i in range(spp):
-                out = fwd_j(jnp.uint32(2 + i))
-            float(out)
-            dt = (time.perf_counter() - t0) / spp
+            fbox = [0]
+
+            def fdispatch():
+                fbox[0] += 1
+                return fwd_j(jnp.uint32(fbox[0]))
+
+            dt = delta_time_dispatch(fdispatch, float,
+                                     reps=max(spp, 4))
             entry["fwd_ms_per_sample"] = round(dt * 1e3, 2)
             entry["fwd_mrays_per_s"] = round(
                 w * h * 2 * bounces / dt / 1e6, 3)
+            # latency-inclusive single-sample number for transparency
+            t0 = time.perf_counter()
+            float(fdispatch())
+            entry["fwd_ms_per_sample_dispatched"] = round(
+                (time.perf_counter() - t0) * 1e3, 2)
 
             t0 = time.perf_counter()
             out = bwd_j(scene.mat_albedo, jnp.uint32(0))
             float(out[0])
             entry["fwdbwd_compile_s"] = round(time.perf_counter() - t0, 2)
-            float(bwd_j(scene.mat_albedo, jnp.uint32(1))[0])
-            t0 = time.perf_counter()
-            for i in range(spp):
-                out = bwd_j(scene.mat_albedo, jnp.uint32(2 + i))
-            float(out[0])
-            dt = (time.perf_counter() - t0) / spp
+
+            def bdispatch():
+                fbox[0] += 1
+                return bwd_j(scene.mat_albedo, jnp.uint32(fbox[0]))
+
+            dt = delta_time_dispatch(bdispatch, lambda o: float(o[0]),
+                                     reps=max(spp, 4))
             entry["fwdbwd_ms_per_sample"] = round(dt * 1e3, 2)
             entry["fwdbwd_mrays_per_s"] = round(
                 w * h * 2 * bounces / dt / 1e6, 3)
 
             # --- traversal kernel in isolation + SoL (BVH scenes only) ---
-            if (peaks is not None and scene.cluster is not None
+            if (not args.skip_sol and scene.cluster is not None
                     and scene.n_tris > settings.brute_max_tris):
                 from dustraytracer_tpu.ops.rng import seed_pixels
-                from dustraytracer_tpu.ops.traverse_sweep import \
-                    traverse_cluster_sweep
                 from dustraytracer_tpu.render.integrator import ray_sort_key
                 from dustraytracer_tpu.scene.camera import generate_rays
                 from dustraytracer_tpu.utils.roofline import (
-                    measure_sweep_rates, sol_report, walk_stats)
+                    calibrate_sweep_rates, sweep_attribution)
 
-                if True:  # sweep kernel pages: any node count works
-                    n = w * h
-                    ids = jnp.arange(n, dtype=jnp.int32)
-                    rng = seed_pixels(ids.astype(jnp.uint32), jnp.uint32(0))
-                    _r, o, d = generate_rays(cam, w, h, rng, pixel_ids=ids)
-                    key = ray_sort_key(scene.node_min[0], scene.node_max[0],
-                                       o, d)
-                    perm = jnp.argsort(key)
-                    o, d = o[perm], d[perm]
-                    trav = jax.jit(lambda o, d: jnp.sum(
-                        traverse_cluster_sweep(scene.cluster, o, d)["t"]))
-                    float(trav(o, d))
-                    float(trav(o, d))
-                    t0 = time.perf_counter()
-                    for _ in range(4):
-                        r = trav(o, d)
-                    float(r)
-                    trav_dt = (time.perf_counter() - t0) / 4
-                    stats = walk_stats(scene.cluster, np.asarray(o),
-                                       np.asarray(d))
-                    kc = (scene.cluster.k, scene.cluster.v0.shape[0])
-                    if kc not in rates_cache:
-                        rates_cache[kc] = measure_sweep_rates(
-                            k=kc[0], c_pad=kc[1])
-                    sol = sol_report(n / trav_dt, stats, peaks,
-                                     scene.cluster.k,
-                                     scene.cluster.v0.shape[0],
-                                     rates=rates_cache[kc])
-                    entry["traversal_mrays_per_s"] = round(
-                        n / trav_dt / 1e6, 2)
-                    entry["sol_pct"] = round(sol["sol_pct"], 1)
-                    entry["kernel_step_ns"] = sol.get("kernel_step_ns")
-                    entry["kernel_leaf_step_ns"] = sol.get(
-                        "kernel_leaf_step_ns")
-                    entry["analytic_sol_pct"] = round(
-                        sol["analytic_sol_pct"], 1)
-                    entry["sol_pct_ideal_coherence"] = round(
-                        sol["sol_pct_ideal"], 1)
-                    entry["mean_tile_steps"] = round(
-                        sol["mean_tile_steps"], 1)
+                n = w * h
+                ids = jnp.arange(n, dtype=jnp.int32)
+                rng = seed_pixels(ids.astype(jnp.uint32), jnp.uint32(0))
+                _r, o, d = generate_rays(cam, w, h, rng, pixel_ids=ids)
+                key = ray_sort_key(scene.node_min[0], scene.node_max[0],
+                                   o, d)
+                perm = jnp.argsort(key)
+                o, d = o[perm], d[perm]
+                kc = (scene.cluster.k, scene.cluster.v0.shape[0])
+                if kc not in rates_cache:
+                    rates_cache[kc] = calibrate_sweep_rates(
+                        k=kc[0], c_pad=kc[1])
+                attr = sweep_attribution(scene.cluster, o, d,
+                                         rates=rates_cache[kc])
+                entry["traversal_mrays_per_s"] = round(
+                    attr["mrays_per_s"], 2)
+                entry["sol_pct"] = round(attr["sol_pct"], 1)
+                entry["kernel_window_ns"] = round(
+                    rates_cache[kc]["window_ns"], 1)
+                entry["kernel_leaf_ns"] = round(
+                    rates_cache[kc]["leaf_ns"], 1)
+                entry["exec_windows_per_tile"] = round(
+                    attr["windows_per_tile"], 2)
+                entry["exec_leafs_per_tile"] = round(
+                    attr["leafs_per_tile"], 2)
+                entry["leaf_share_pct"] = round(
+                    attr["leaf_share_pct"], 1)
         except Exception as e:
             entry["error"] = f"{type(e).__name__}: {e}"[:200]
         report["configs"].append(entry)

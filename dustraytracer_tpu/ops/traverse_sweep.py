@@ -86,7 +86,7 @@ UNROLL = 4
 
 def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
             node_s, t_s, idx_s, vis_s, cnt_s, *paging, m, c, k, anyhit,
-            paged=False, m_pad=0):
+            paged=False, m_pad=0, unroll=UNROLL):
     if paged:
         box_pg, link_pg, sems = paging
         n_pages = m_pad // PAGE
@@ -148,7 +148,7 @@ def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
         else:
             q = cur_q
         last = (m_pad if paged else m) - 1
-        for s in range(UNROLL):
+        for s in range(unroll):
             _substep(jnp.minimum(i0 + s, last))
         # the min over lanes strictly increases -> <= m iterations total
         # (the step counter is belt-and-braces against layout bugs)
@@ -290,18 +290,19 @@ def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
 _OPAQUE_CACHE = {}
 
 
-def _opaque(anyhit: bool, interpret: bool):
+def _opaque(anyhit: bool, interpret: bool, tile: int, unroll: int):
     """custom_vjp wrapper: discrete selector, zero cotangents (same
     contract as traverse_pallas — callers differentiate recomputed hit
     attributes, never the kernel)."""
-    key = (anyhit, interpret)
+    key = (anyhit, interpret, tile, unroll)
     if key in _OPAQUE_CACHE:
         return _OPAQUE_CACHE[key]
 
     @jax.custom_vjp
     def run(cb, origin, direction, t_max):
         return _traverse_impl(cb, origin, direction, t_max,
-                              anyhit=anyhit, interpret=interpret)
+                              anyhit=anyhit, interpret=interpret,
+                              tile=tile, unroll=unroll)
 
     def fwd(cb, origin, direction, t_max):
         shapes = jax.tree.map(
@@ -319,30 +320,35 @@ def _opaque(anyhit: bool, interpret: bool):
 
 def traverse_cluster_sweep(cb: ClusterBvh, origin, direction, *,
                            anyhit: bool = False, t_max=None,
-                           interpret: bool = False):
+                           interpret: bool = False, tile: int = None,
+                           unroll: int = None):
     """Min-sweep kernel traversal; same results as traverse_cluster.
 
     Opaque to autodiff (zero gradients — discrete selector contract).
     Scenes past MAX_SMEM_NODES run in paged mode (node tables streamed
     HBM -> SMEM in PAGE windows) with no node-count ceiling.
+    tile/unroll override the module defaults (per-ray results are
+    invariant to both; they only schedule — tools/tune_sweep.py).
     """
     if t_max is None:
         t_max = jnp.float32(BIG)
-    return _opaque(anyhit, interpret)(cb, origin, direction, t_max)
+    return _opaque(anyhit, interpret, tile or TILE,
+                   unroll or UNROLL)(cb, origin, direction, t_max)
 
 
 def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
-                   *, anyhit: bool, interpret: bool):
+                   *, anyhit: bool, interpret: bool, tile: int = TILE,
+                   unroll: int = UNROLL):
     n = origin.shape[0]
     m = cb.n_nodes
     k = cb.k
     c_pad = cb.v0.shape[0]
 
-    pad = (-n) % TILE
+    pad = (-n) % tile
     o = jnp.concatenate([origin, jnp.ones((pad, 3))], axis=0)
     d = jnp.concatenate([direction, jnp.ones((pad, 3))], axis=0)
     ntot = n + pad
-    n_tiles = ntot // TILE
+    n_tiles = ntot // tile
     limit = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     lim = jnp.concatenate([limit, jnp.full((pad,), BIG)], axis=0)
 
@@ -350,8 +356,8 @@ def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
     rays = jnp.stack([o[:, 0], o[:, 1], o[:, 2],
                       d[:, 0], d[:, 1], d[:, 2], lim, zero],
                      axis=0)  # (8, ntot)
-    rays = rays.reshape(8, n_tiles, TILE).transpose(1, 0, 2) \
-        .reshape(n_tiles * 8, TILE)
+    rays = rays.reshape(8, n_tiles, tile).transpose(1, 0, 2) \
+        .reshape(n_tiles * 8, tile)
 
     paged = m > MAX_SMEM_NODES
     node_box = jnp.concatenate([cb.node_min[:m], cb.node_max[:m]],
@@ -382,20 +388,20 @@ def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
         [plane_T(cb.v0), plane_T(cb.e1), plane_T(cb.e2),
          cb.tri_idx.astype(jnp.float32).T], axis=0)  # (10K, C_pad)
 
-    ray_spec = pl.BlockSpec((8, TILE), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((8, tile), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((8, TILE), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((8, tile), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     kernel = partial(_kernel, m=m, c=c_pad, k=k, anyhit=anyhit,
-                     paged=paged, m_pad=m_pad)
+                     paged=paged, m_pad=m_pad, unroll=unroll)
 
     node_space = pl.ANY if paged else pltpu.SMEM
-    scratch = [pltpu.VMEM((1, TILE), jnp.int32),
-               pltpu.VMEM((1, TILE), jnp.float32),
-               pltpu.VMEM((1, TILE), jnp.int32),
-               pltpu.VMEM((1, TILE), jnp.int32),
+    scratch = [pltpu.VMEM((1, tile), jnp.int32),
+               pltpu.VMEM((1, tile), jnp.float32),
+               pltpu.VMEM((1, tile), jnp.int32),
+               pltpu.VMEM((1, tile), jnp.int32),
                pltpu.SMEM((2,), jnp.int32)]
     if paged:
         scratch += [pltpu.SMEM((2 * PAGE * 6,), jnp.float32),
@@ -411,12 +417,12 @@ def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
                   pl.BlockSpec(memory_space=node_space),
                   ray_spec, tab_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, TILE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, tile), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
     )(node_box, node_link, rays, tri_tab)
 
-    packed = packed.reshape(n_tiles, 8, TILE)
+    packed = packed.reshape(n_tiles, 8, tile)
     hit_t = packed[:, 0, :].reshape(-1)[:n]
     hit_idx = packed[:, 1, :].reshape(-1)[:n].astype(jnp.int32)
     visits = packed[:, 2, :].reshape(-1)[:n].astype(jnp.int32)

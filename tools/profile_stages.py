@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -22,17 +21,17 @@ import jax
 import jax.numpy as jnp
 
 
-def bench(fn, *args, reps=5, warm=2):
+def bench(fn, *args, reps=6):
+    """Device seconds per call, delta-timed (see utils/roofline.py:
+    delta_time_dispatch — single fenced dispatches measure the axon
+    tunnel's fixed latency, not the kernel)."""
+    from dustraytracer_tpu.utils.roofline import delta_time_dispatch
+
     out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
-    for _ in range(warm):
-        out = fn(*args)
-    float(jnp.sum(jax.tree.leaves(out)[0]))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    float(jnp.sum(jax.tree.leaves(out)[0]))
-    return (time.perf_counter() - t0) / reps
+    float(jnp.sum(jax.tree.leaves(out)[0]))  # compile; fetch = fence
+    return delta_time_dispatch(
+        lambda: fn(*args),
+        lambda o: float(jnp.sum(jax.tree.leaves(o)[0])), reps=reps)
 
 
 def main():
