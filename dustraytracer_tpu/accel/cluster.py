@@ -55,6 +55,13 @@ class ClusterBvh:
     n_clusters: int = field(metadata=dict(static=True), default=0)
     k: int = field(metadata=dict(static=True), default=CLUSTER_K)
 
+    # static refit plan: subtree_mask[i, c] == True iff ORIGINAL cluster
+    # c lies in node i's subtree. Lets refit_cluster_bvh re-derive every
+    # node AABB from live vertices with fixed topology (vertex
+    # optimization on the fast kernel path). None for synthetic tables
+    # that never refit (roofline chains).
+    subtree_mask: jax.Array | None = None
+
 
 def build_cluster_bvh(tri_pos: np.ndarray, k: int = CLUSTER_K,
                       bins: int = 16) -> ClusterBvh:
@@ -95,6 +102,28 @@ def build_cluster_bvh(tri_pos: np.ndarray, k: int = CLUSTER_K,
     # node_first index into the permuted cluster order)
     node_cluster[:m][leaf] = bvh.perm[bvh.node_first[:m][leaf]].astype(np.int32)
 
+    # --- static refit plan (refit_cluster_bvh) ---
+    # Pre-order subtree = contiguous node range; its leaves cover a
+    # contiguous range of the PERMUTED cluster order. Reverse pass:
+    # children (at higher indices) are resolved before their parent;
+    # internal node i has left child i+1 and right child skip[i+1].
+    lo = np.zeros(m, np.int64)
+    hi = np.zeros(m, np.int64)
+    skipl = bvh.node_skip[:m]
+    for i in range(m - 1, -1, -1):
+        if leaf[i]:
+            lo[i] = bvh.node_first[i]
+            hi[i] = bvh.node_first[i] + bvh.node_count[i]
+        else:
+            left = i + 1
+            right = skipl[left]
+            lo[i] = lo[left]
+            hi[i] = hi[right] if 0 <= right < m else hi[left]
+    subtree_mask = np.zeros((m, c), bool)
+    permc = bvh.perm.astype(np.int64)
+    for i in range(m):
+        subtree_mask[i, permc[lo[i]:hi[i]]] = True
+
     # One-hot matmul selection computes 0 * x for every non-selected row —
     # padding must be FINITE (0 * inf = NaN would poison every result).
     # Inverted finite boxes (min > max) can never be entered.
@@ -123,4 +152,52 @@ def build_cluster_bvh(tri_pos: np.ndarray, k: int = CLUSTER_K,
         n_nodes=m,
         n_clusters=c,
         k=k,
+        subtree_mask=jnp.asarray(subtree_mask),
+    )
+
+
+def refit_cluster_bvh(cb: ClusterBvh, tri_pos) -> ClusterBvh:
+    """Re-bake the cluster tables + every node AABB from live triangle
+    positions, topology fixed. Pure jnp (jit-safe) — the inverse-
+    rendering train step calls this so VERTEX optimization runs on the
+    sweep/cluster fast path instead of the gather walk (round-2 verdict
+    item 4: baked tables went stale against tri_pos updates).
+
+    `tri_pos` must be the same SAH-permuted (N, 3, 3) array family the
+    tables were built from (clusters are consecutive K-runs of it).
+    Padding semantics match build_cluster_bvh exactly: padding triangles
+    are zeros (degenerate, never hit) and participate in cluster bounds
+    the same way, so refit(cb, original_tri_pos) reproduces the built
+    tables. Gradients do NOT flow through the refit tables (traversal is
+    an opaque discrete selector); shading recomputes hit attributes from
+    tri_pos directly.
+    """
+    import dataclasses
+
+    if cb.subtree_mask is None:
+        raise ValueError("ClusterBvh was built without a refit plan")
+    c, k, m = cb.n_clusters, cb.k, cb.n_nodes
+    pad_n = c * k
+    take = min(tri_pos.shape[0], pad_n)
+    tp = jnp.zeros((pad_n, 3, 3), jnp.float32).at[:take].set(
+        tri_pos[:take].astype(jnp.float32))
+    v0 = tp[:, 0].reshape(c, k, 3)
+    e1 = (tp[:, 1] - tp[:, 0]).reshape(c, k, 3)
+    e2 = (tp[:, 2] - tp[:, 0]).reshape(c, k, 3)
+
+    corners = tp.reshape(c, k * 3, 3)
+    cl_min = corners.min(axis=1)
+    cl_max = corners.max(axis=1)
+    big = 3.0e38
+    nm = jnp.where(cb.subtree_mask[:, :, None], cl_min[None], big) \
+        .min(axis=1)
+    nx = jnp.where(cb.subtree_mask[:, :, None], cl_max[None], -big) \
+        .max(axis=1)
+    return dataclasses.replace(
+        cb,
+        node_min=cb.node_min.at[:m].set(nm),
+        node_max=cb.node_max.at[:m].set(nx),
+        v0=cb.v0.at[:c].set(v0),
+        e1=cb.e1.at[:c].set(e1),
+        e2=cb.e2.at[:c].set(e2),
     )

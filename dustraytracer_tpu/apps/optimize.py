@@ -141,10 +141,11 @@ def main(argv=None) -> int:
                       vfov_deg=args.vfov)
     settings = RenderSettings(bounces=args.bounces, enable_tonemap=False,
                               enable_gamma=False)
-    if "vertices" in args.optimize:
-        # vertex updates would go stale against baked cluster tables; the
-        # gather traversal reads live geometry
-        settings = settings.replace(traversal="gather")
+    # vertex updates no longer force the gather walk: apply_params
+    # re-bakes the cluster tables from live tri_pos each step
+    # (accel/cluster.py refit_cluster_bvh), so the sweep/cluster fast
+    # path stays valid. --traversal gather remains available via env for
+    # debugging but is not needed for correctness.
     soft = args.soft_edges
     if soft is None:
         soft = 0.05 if "vertices" in args.optimize else 0.0

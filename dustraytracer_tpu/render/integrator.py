@@ -381,8 +381,10 @@ def _make_tracers(scene, settings: RenderSettings):
     cluster (gather-free one-hot MXU walk) when the scene carries cluster
     tables and the mode allows; threaded gather walk otherwise
     (alpha-test needs per-hit texture fetches the cluster tables don't
-    carry, and vertex optimization mutates tri_pos which would go stale
-    vs the baked cluster tables).
+    carry — lifted onto the fast path via re-trace below). Vertex
+    optimization stays on the fast path too: apply_params re-bakes the
+    cluster tables from live tri_pos (accel/cluster.py
+    refit_cluster_bvh).
     """
     from dustraytracer_tpu.ops.traverse_brute import traverse_brute
     from dustraytracer_tpu.ops.traverse_cluster import traverse_cluster
