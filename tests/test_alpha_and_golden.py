@@ -176,3 +176,45 @@ def test_alpha_retrace_epsilon_contract():
         np.testing.assert_allclose(t, 3.0 + sep, rtol=1e-4,
                                    err_msg=f"sep={sep}")
         assert bool(np.asarray(anyhit(o, d))[0])
+
+
+def test_alpha_retrace_epsilon_boundary():
+    """Pin the epsilon BOUNDARY itself (VERDICT r2 weak #6), both sides.
+
+    The re-trace advances to adv = t*(1+1e-5) + 1e-5; with the cutout at
+    t=3 the skip window ends at ~3.00004. Construct opaque geometry just
+    OUTSIDE the window (sep=2e-4, 5x margin) -> must be found, and
+    essentially COINCIDENT (sep=1e-6, inside the window) -> deterministic
+    miss: coincident-with-cutout geometry is treated as part of the
+    cutout. That replaces 'traversal-order-defined' with a pinned
+    contract at the boundary."""
+    from dustraytracer_tpu.render.integrator import _make_tracers
+    from dustraytracer_tpu.scene.gltf import GltfDocument, GltfMaterial
+    from dustraytracer_tpu.scene.scene import build_scene
+    from dustraytracer_tpu.scene.settings import RenderSettings
+    from tests.util_scenes import make_quad
+
+    def trace(sep):
+        doc = GltfDocument(
+            meshes=[("cutout", [make_quad((0, 0, -1.0), 4, axis=2, mat=0)]),
+                    ("opaque", [make_quad((0, 0, -1.0 - sep), 4, axis=2,
+                                          mat=1)])],
+            materials=[GltfMaterial(base_color=np.ones(3, np.float32),
+                                    base_color_texture=0),
+                       GltfMaterial(base_color=np.ones(3, np.float32))],
+            images=[np.zeros((4, 4, 4), np.uint8)],  # alpha 0 everywhere
+            cameras=[])
+        scene = build_scene(doc, use_native=False)
+        s = RenderSettings(alpha_test=True, traversal="cluster")
+        closest, _anyhit = _make_tracers(scene, s)
+        r = closest(jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32),
+                    jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32))
+        return int(np.asarray(r["hit_idx"])[0]), float(np.asarray(r["t"])[0])
+
+    # outside the skip window: must find the opaque quad
+    hit, t = trace(2e-4)
+    assert hit >= 0
+    np.testing.assert_allclose(t, 3.0 + 2e-4, rtol=1e-5)
+    # inside the window (near-coincident): pinned to 'part of the cutout'
+    hit, _t = trace(1e-6)
+    assert hit < 0, "coincident geometry must resolve as cutout (miss)"

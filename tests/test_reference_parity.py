@@ -44,13 +44,20 @@ def _render(meta, spp=None, start_frame=0):
     from dustraytracer_tpu.scene import load_scene, make_camera
     from dustraytracer_tpu.scene.settings import LightParams, RenderSettings
 
-    scene_path = os.path.join(MODELS, meta["scene"])
-    if not os.path.exists(scene_path):
-        pytest.skip(f"{meta['scene']} not bundled")
-    scene = load_scene(scene_path)
+    if meta["scene"].startswith("synthetic:"):
+        import tests.util_scenes as us
+
+        scene = getattr(
+            us, f"make_{meta['scene'].split(':', 1)[1]}_scene")()
+    else:
+        scene_path = os.path.join(MODELS, meta["scene"])
+        if not os.path.exists(scene_path):
+            pytest.skip(f"{meta['scene']} not bundled")
+        scene = load_scene(scene_path)
     cam = make_camera(**{k: tuple(v) if isinstance(v, list) else v
                          for k, v in meta["camera"].items()})
-    settings = RenderSettings(bounces=meta["bounces"])
+    settings = RenderSettings(bounces=meta["bounces"],
+                              **meta.get("overrides", {}))
     lights = LightParams.from_settings(settings)
     size = meta["size"]
     spp = spp or meta["spp"]
@@ -67,7 +74,9 @@ def _psnr(a, b, peak=1.0):
     return 10.0 * np.log10(peak * peak / max(mse, 1e-12))
 
 
-@pytest.mark.parametrize("name", ["cornell_box", "suzanne_plane"])
+@pytest.mark.parametrize("name", ["cornell_box", "suzanne_plane",
+                                  "mc_transparency", "suzanne_smooth",
+                                  "glass_panes", "cs16_dust"])
 def test_exact_golden(name):
     """Per-pixel regeneration of the committed golden."""
     golden, meta = _load_golden(f"{name}_exact")

@@ -62,3 +62,40 @@ def make_random_tri_doc(n_tris: int, seed=0) -> GltfDocument:
     prim = GltfPrimitive(positions=pos, normals=nrm, uvs=uvs, material=0)
     return GltfDocument(meshes=[("soup", [prim])],
                         materials=[GltfMaterial()], images=[], cameras=[])
+
+
+def make_glass_panes_scene() -> Scene:
+    """Deterministic synthetic glass fixture for the golden harness
+    ("synthetic:glass_panes"): a tilted glass pane (transmission 0.85,
+    ior 1.5) in front of a red emissive wall over a grey ground — covers
+    refraction, Fresnel reflection and colored-throughput paths that no
+    bundled reference scene reaches (the reference parses Transmission/
+    ior but never shades them, Material.cuh:10-22)."""
+    pane = make_quad((0, 1.2, -0.8), 2.2, axis=2, mat=0)
+    pane_pos = pane.positions.copy()
+    # tilt the pane 20 deg about X so Fresnel varies across it
+    c, s = np.cos(np.radians(20)), np.sin(np.radians(20))
+    y = pane_pos[..., 1] - 1.2
+    z = pane_pos[..., 2] + 0.8
+    pane_pos[..., 1] = 1.2 + c * y - s * z
+    pane_pos[..., 2] = -0.8 + s * y + c * z
+    pane = GltfPrimitive(positions=pane_pos, normals=pane.normals,
+                         uvs=pane.uvs, material=0)
+    doc = GltfDocument(
+        meshes=[
+            ("pane", [pane]),
+            ("wall", [make_quad((0, 1.5, -3), 6, axis=2, mat=1)]),
+            ("ground", [make_quad((0, 0, 0), 12, axis=1, mat=2)]),
+        ],
+        materials=[
+            GltfMaterial(name="glass", base_color=np.array(
+                [0.95, 0.98, 1.0], np.float32), roughness=0.0,
+                transmission=0.85, ior=1.5),
+            GltfMaterial(name="wall", base_color=np.zeros(3, np.float32),
+                         emissive=np.array([3.5, 0.4, 0.4], np.float32),
+                         roughness=1.0),
+            GltfMaterial(name="ground", base_color=np.array(
+                [0.55, 0.55, 0.55], np.float32), roughness=1.0),
+        ],
+        images=[], cameras=[])
+    return build_scene(doc, use_native=False)

@@ -52,7 +52,50 @@ SCENES = {
         exact=dict(size=64, spp=2),
         converged=dict(size=128, spp=512),
     ),
+    # --- round-3 golden-diversity additions (VERDICT r2 weak #5):
+    # exact tier only — each pins a feature path the original pair
+    # never exercised.
+    "mc_transparency": dict(
+        file="minecraft/mcTransparencyTest.glb",  # the reference's own
+        # AnyHit fixture (AnyHit.cuh:8-28)
+        camera=dict(position=(0.0, 5.0, 9.4), look_at=(0.0, 3.0, -1.5),
+                    vfov_deg=55.0),
+        overrides=dict(alpha_test=True),
+        exact=dict(size=96, spp=2),
+    ),
+    "suzanne_smooth": dict(
+        file="suzanne_plane.glb",
+        camera=dict(position=(0, 1.5, 5), look_at=(0, 0.5, 0),
+                    vfov_deg=45.0),
+        overrides=dict(smooth_shading=True),
+        exact=dict(size=64, spp=2),
+    ),
+    "glass_panes": dict(
+        file="synthetic:glass_panes",  # tests/util_scenes.py builder
+        camera=dict(position=(0.0, 1.2, 2.2), look_at=(0.0, 1.2, -0.8),
+                    vfov_deg=50.0),
+        overrides=dict(shading="pbr"),
+        exact=dict(size=64, spp=4),
+    ),
+    "cs16_dust": dict(
+        file="source/cs16_dust.glb",  # the reference flagship scene
+        # (EditorLayer.cpp:50), aerial crop per bench_scenes.py
+        camera=dict(position=(45.0, 30.0, 45.0), look_at=(-5.0, 0.0, -25.0),
+                    vfov_deg=55.0),
+        exact=dict(size=96, spp=2),
+    ),
 }
+
+
+def load_golden_scene(file: str):
+    """Load a golden scene: bundled .glb path or a synthetic builder."""
+    if file.startswith("synthetic:"):
+        import tests.util_scenes as us
+
+        return getattr(us, f"make_{file.split(':', 1)[1]}_scene")()
+    from dustraytracer_tpu.scene import load_scene
+
+    return load_scene(os.path.join(MODELS, file))
 
 
 def reference_default_settings():
@@ -108,27 +151,31 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     import jax
 
-    from dustraytracer_tpu.scene import load_scene, make_camera
+    from dustraytracer_tpu.scene import make_camera
     from dustraytracer_tpu.scene.settings import LightParams
 
     settings = reference_default_settings()
     backend = jax.default_backend()
 
     for name, cfg in SCENES.items():
-        scene = load_scene(os.path.join(MODELS, cfg["file"]))
+        scene = load_golden_scene(cfg["file"])
         cam = make_camera(**cfg["camera"])
-        lights = LightParams.from_settings(settings)
+        over = cfg.get("overrides", {})
+        st = settings.replace(**over) if over else settings
+        lights = LightParams.from_settings(st)
         for tier in ("exact", "converged"):
-            if args.tier not in (tier, "all"):
+            if args.tier not in (tier, "all") or tier not in cfg:
                 continue
             size, spp = cfg[tier]["size"], cfg[tier]["spp"]
             print(f"{name} [{tier}] {size}x{size} @ {spp}spp "
                   f"on {backend}...", file=sys.stderr)
-            img = render_accum(scene, cam, lights, settings, size, spp)
+            img = render_accum(scene, cam, lights, st, size, spp)
             meta = {"scene": cfg["file"], "camera": cfg["camera"],
-                    "size": size, "spp": spp, "bounces": settings.bounces,
+                    "size": size, "spp": spp, "bounces": st.bounces,
+                    "overrides": over,
                     "tier": tier, "backend": backend,
-                    "settings": "reference defaults (RendererSettings.h:22-34)"}
+                    "settings": "reference defaults (RendererSettings.h:22-34)"
+                                + (f" + {over}" if over else "")}
             save_golden(f"{name}_{tier}", img, meta)
 
 
