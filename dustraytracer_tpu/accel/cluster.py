@@ -179,8 +179,14 @@ def refit_cluster_bvh(cb: ClusterBvh, tri_pos) -> ClusterBvh:
     c, k, m = cb.n_clusters, cb.k, cb.n_nodes
     pad_n = c * k
     take = min(tri_pos.shape[0], pad_n)
-    tp = jnp.zeros((pad_n, 3, 3), jnp.float32).at[:take].set(
-        tri_pos[:take].astype(jnp.float32))
+    tp = tri_pos[:take].astype(jnp.float32)
+    if take < pad_n:
+        # padding via zeros_like (derived from tri_pos) so the array
+        # carries tri_pos's mesh/vma type under shard_map — a bare
+        # jnp.zeros / broadcast_to trips the Manual-context mesh check
+        # (same pattern as ops/intersect.py varying_zero)
+        pad_rows = jnp.zeros_like(tp, shape=(pad_n - take, 3, 3))
+        tp = jnp.concatenate([tp, pad_rows], axis=0)
     v0 = tp[:, 0].reshape(c, k, 3)
     e1 = (tp[:, 1] - tp[:, 0]).reshape(c, k, 3)
     e2 = (tp[:, 2] - tp[:, 0]).reshape(c, k, 3)
@@ -193,11 +199,18 @@ def refit_cluster_bvh(cb: ClusterBvh, tri_pos) -> ClusterBvh:
         .min(axis=1)
     nx = jnp.where(cb.subtree_mask[:, :, None], cl_max[None], -big) \
         .max(axis=1)
+    # slice+concat, NOT .at[].set: the scatter path broadcasts the update
+    # with the operand's committed (replicated, Auto-mesh) sharding
+    # attached, which the Manual mesh context inside shard_map rejects —
+    # concatenate carries no sharding annotation.
+    def splice(old, new):
+        return jnp.concatenate([new, old[new.shape[0]:]], axis=0)
+
     return dataclasses.replace(
         cb,
-        node_min=cb.node_min.at[:m].set(nm),
-        node_max=cb.node_max.at[:m].set(nx),
-        v0=cb.v0.at[:c].set(v0),
-        e1=cb.e1.at[:c].set(e1),
-        e2=cb.e2.at[:c].set(e2),
+        node_min=splice(cb.node_min, nm),
+        node_max=splice(cb.node_max, nx),
+        v0=splice(cb.v0, v0),
+        e1=splice(cb.e1, e1),
+        e2=splice(cb.e2, e2),
     )

@@ -169,19 +169,40 @@ def cmd_render(args) -> int:
                                  settings=settings)
 
     # compile (excluded from throughput, like the reference's first-frame
-    # cudaEvent warm-up)
+    # cudaEvent warm-up). The non-sharded path warms the batched
+    # accumulate executable with a count=0 call (compiles, adds nothing).
     t0 = time.perf_counter()
     start = int(film.frame)
     if start < spp:
-        sample = one_sample(start)
-        jax.block_until_ready(sample)
+        if args.devices > 0:
+            jax.block_until_ready(one_sample(start))
+        else:
+            from dustraytracer_tpu.render.film import film_accumulate
+            film = film_accumulate(scene, camera, lights, film,
+                                   jnp.int32(0), width=width,
+                                   height=height, settings=settings)
+            jax.block_until_ready(film.accum)
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    from dustraytracer_tpu.render.film import film_add
-    for f in range(start, spp):
-        film = film_add(film, one_sample(f))
+    if args.devices > 0:
+        from dustraytracer_tpu.render.film import film_add
+        for f in range(start, spp):
+            film = film_add(film, one_sample(f))
+    else:
+        # batched accumulation: k samples per device dispatch — the
+        # per-dispatch tunnel latency (~10-30 ms) otherwise dominates
+        # small frames (render/film.py film_accumulate)
+        from dustraytracer_tpu.render.film import film_accumulate
+        todo = spp - start
+        while todo > 0:
+            chunk = min(todo, 8)
+            film = film_accumulate(scene, camera, lights, film,
+                                   jnp.int32(chunk), width=width,
+                                   height=height, settings=settings)
+            todo -= chunk
     jax.block_until_ready(film.accum)
+    float(jnp.sum(film.accum))  # host fetch: the only reliable fence
     render_s = time.perf_counter() - t0
 
     img = np.asarray(film_image(film))
