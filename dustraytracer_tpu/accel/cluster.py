@@ -62,13 +62,27 @@ class ClusterBvh:
     # that never refit (roofline chains).
     subtree_mask: jax.Array | None = None
 
+    # optional shading-attribute tables (same cluster-major layout).
+    # When present, the sweep kernel emits the winning hit's
+    # interpolated uv, oriented geometric normal and material id
+    # directly (in-kernel shading fetch — the reference megakernel
+    # shades in-kernel too, RayGen.cuh:110-118), sparing the wavefront
+    # the O(rays x triangles) one-hot attribute fetch.
+    uv: jax.Array | None = None        # (C, K, 3, 2) f32 corner UVs
+    face_nrm: jax.Array | None = None  # (C, K, 3) f32 oriented normal
+    mat: jax.Array | None = None       # (C, K) i32 material id
+
 
 def build_cluster_bvh(tri_pos: np.ndarray, k: int = CLUSTER_K,
-                      bins: int = 16) -> ClusterBvh:
+                      bins: int = 16, uv: np.ndarray | None = None,
+                      face_nrm: np.ndarray | None = None,
+                      mat: np.ndarray | None = None) -> ClusterBvh:
     """Build cluster tables over an (already SAH-permuted) triangle array.
 
     `tri_pos` must be the post-BVH-permutation (N, 3, 3) array (the padded
     Scene.tri_pos works: padding triangles are degenerate and never hit).
+    `uv`/`face_nrm`/`mat` (same permutation) are optional shading
+    attribute arrays; when given, the sweep kernel can shade in-kernel.
     """
     from dustraytracer_tpu.accel.bvh import _build_bvh_numpy, thread_bvh
 
@@ -77,6 +91,17 @@ def build_cluster_bvh(tri_pos: np.ndarray, k: int = CLUSTER_K,
     pad_n = c * k
     tp = np.zeros((pad_n, 3, 3), np.float32)
     tp[:n] = tri_pos
+
+    def _attr(a, shape, dtype, fill=0):
+        if a is None:
+            return None
+        out = np.full((pad_n,) + shape, fill, dtype)
+        out[:n] = a[:pad_n][:n]
+        return out.reshape((c, k) + shape)
+
+    uv_t = _attr(uv, (3, 2), np.float32)
+    fn_t = _attr(face_nrm, (3,), np.float32)
+    mat_t = _attr(mat, (), np.int32)
 
     v0 = tp[:, 0].reshape(c, k, 3)
     e1 = (tp[:, 1] - tp[:, 0]).reshape(c, k, 3)
@@ -153,6 +178,9 @@ def build_cluster_bvh(tri_pos: np.ndarray, k: int = CLUSTER_K,
         n_clusters=c,
         k=k,
         subtree_mask=jnp.asarray(subtree_mask),
+        uv=None if uv_t is None else jnp.asarray(pad128(uv_t)),
+        face_nrm=None if fn_t is None else jnp.asarray(pad128(fn_t)),
+        mat=None if mat_t is None else jnp.asarray(pad128(mat_t)),
     )
 
 
@@ -206,6 +234,20 @@ def refit_cluster_bvh(cb: ClusterBvh, tri_pos) -> ClusterBvh:
     def splice(old, new):
         return jnp.concatenate([new, old[new.shape[0]:]], axis=0)
 
+    extra = {}
+    if cb.face_nrm is not None:
+        # re-derive the oriented geometric normal from live edges; the
+        # ingest orientation (Scene.cu:270-302 rule) is preserved by
+        # sign-matching against the previous normal (same rule
+        # shade_hits applies when it recomputes normals for AD)
+        raw = jnp.cross(e1, e2)
+        raw = raw / jnp.maximum(
+            jnp.linalg.norm(raw, axis=-1, keepdims=True), 1e-20)
+        old = cb.face_nrm[:c]
+        sign = jnp.where(jnp.sum(raw * old, axis=-1, keepdims=True) < 0,
+                         -1.0, 1.0)
+        extra["face_nrm"] = splice(cb.face_nrm, raw * sign)
+
     return dataclasses.replace(
         cb,
         node_min=splice(cb.node_min, nm),
@@ -213,4 +255,5 @@ def refit_cluster_bvh(cb: ClusterBvh, tri_pos) -> ClusterBvh:
         v0=splice(cb.v0, v0),
         e1=splice(cb.e1, e1),
         e2=splice(cb.e2, e2),
+        **extra,
     )

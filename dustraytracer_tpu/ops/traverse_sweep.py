@@ -85,8 +85,12 @@ UNROLL = 4
 
 
 def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
-            node_s, t_s, idx_s, vis_s, cnt_s, *paging, m, c, k, anyhit,
-            paged=False, m_pad=0, unroll=UNROLL):
+            node_s, t_s, idx_s, vis_s, cnt_s, *extra, m, c, k, anyhit,
+            paged=False, m_pad=0, unroll=UNROLL, attrs=False):
+    if attrs:
+        attr_s, *paging = extra
+    else:
+        paging = extra
     if paged:
         box_pg, link_pg, sems = paging
         n_pages = m_pad // PAGE
@@ -111,6 +115,8 @@ def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
     vis_s[:] = jnp.zeros((1, t), jnp.int32)
     cnt_s[0] = 0  # executed while-iterations (windows of UNROLL nodes)
     cnt_s[1] = 0  # executed leaf substeps (matvec + MT actually run)
+    if attrs:
+        attr_s[:] = jnp.zeros((8, t), jnp.float32)
 
     def cond(carry):
         step, i, _q = carry
@@ -229,7 +235,7 @@ def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
             rows = jax.lax.dot_general(
                 tri_ref[:], oh, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)  # (10K, 1)
+                preferred_element_type=jnp.float32)  # (10K or 20K, 1)
             v0x, v0y, v0z = rows[0:k], rows[k:2 * k], rows[2 * k:3 * k]
             e1x, e1y, e1z = (rows[3 * k:4 * k], rows[4 * k:5 * k],
                              rows[5 * k:6 * k])
@@ -267,6 +273,35 @@ def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
             improve = (best_t < cur_t) & (best_id < 2**30)
             t_s[:] = jnp.where(improve, best_t, cur_t)
             idx_s[:] = jnp.where(improve, best_id, idx_s[:])
+            if attrs:
+                # in-kernel shading fetch (the reference megakernel
+                # shades in-kernel too, RayGen.cuh:110-118): select the
+                # winner's u/v, interpolated uv, oriented geometric
+                # normal and material id — one masked K-reduce per
+                # channel, paid per leaf EXECUTED, vs an O(rays x tris)
+                # one-hot fetch per shade site on the wavefront.
+                uv0x, uv0y = rows[10 * k:11 * k], rows[11 * k:12 * k]
+                uv1x, uv1y = rows[12 * k:13 * k], rows[13 * k:14 * k]
+                uv2x, uv2y = rows[14 * k:15 * k], rows[15 * k:16 * k]
+                fnx, fny, fnz = (rows[16 * k:17 * k], rows[17 * k:18 * k],
+                                 rows[18 * k:19 * k])
+                matf = rows[19 * k:20 * k]
+                sel = is_best & (tri_id == best_id)  # exactly one per lane
+                wb = 1.0 - u - v
+                uvx = wb * uv0x + u * uv1x + v * uv2x
+                uvy = wb * uv0y + u * uv1y + v * uv2y
+
+                def pick(x):  # (K, T) or (K, 1) -> winner per lane (1, T)
+                    return jnp.sum(jnp.where(sel, x, 0.0), axis=0,
+                                   keepdims=True)
+
+                new_attr = jnp.concatenate(
+                    [pick(u), pick(v), pick(uvx), pick(uvy),
+                     pick(jnp.broadcast_to(fnx, (k, t))),
+                     pick(jnp.broadcast_to(fny, (k, t))),
+                     pick(jnp.broadcast_to(fnz, (k, t))),
+                     pick(jnp.broadcast_to(matf, (k, t)))], axis=0)
+                attr_s[:] = jnp.where(improve, new_attr, attr_s[:])
             if anyhit:
                 node_s[:] = jnp.where(improve, m, node_s[:])
 
@@ -284,17 +319,23 @@ def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
         .astype(jnp.float32)
     out_ref[4:5, :] = jnp.full((1, t), cnt_s[1], jnp.int32) \
         .astype(jnp.float32)
-    out_ref[5:8, :] = jnp.zeros((3, t), jnp.float32)
+    if attrs:
+        out_ref[5:13, :] = attr_s[:]
+        out_ref[13:16, :] = jnp.zeros((3, t), jnp.float32)
+    else:
+        out_ref[5:8, :] = jnp.zeros((3, t), jnp.float32)
 
 
 _OPAQUE_CACHE = {}
 
 
-def _opaque(anyhit: bool, interpret: bool, tile: int, unroll: int):
+def _opaque(anyhit: bool, interpret: bool, tile: int, unroll: int,
+            emit_attrs: bool):
     """custom_vjp wrapper: discrete selector, zero cotangents (same
     contract as traverse_pallas — callers differentiate recomputed hit
-    attributes, never the kernel)."""
-    key = (anyhit, interpret, tile, unroll)
+    attributes, never the kernel; emitted shading attributes are
+    likewise stop-gradient by construction)."""
+    key = (anyhit, interpret, tile, unroll, emit_attrs)
     if key in _OPAQUE_CACHE:
         return _OPAQUE_CACHE[key]
 
@@ -302,7 +343,8 @@ def _opaque(anyhit: bool, interpret: bool, tile: int, unroll: int):
     def run(cb, origin, direction, t_max):
         return _traverse_impl(cb, origin, direction, t_max,
                               anyhit=anyhit, interpret=interpret,
-                              tile=tile, unroll=unroll)
+                              tile=tile, unroll=unroll,
+                              emit_attrs=emit_attrs)
 
     def fwd(cb, origin, direction, t_max):
         shapes = jax.tree.map(
@@ -321,7 +363,7 @@ def _opaque(anyhit: bool, interpret: bool, tile: int, unroll: int):
 def traverse_cluster_sweep(cb: ClusterBvh, origin, direction, *,
                            anyhit: bool = False, t_max=None,
                            interpret: bool = False, tile: int = None,
-                           unroll: int = None):
+                           unroll: int = None, emit_attrs: bool = False):
     """Min-sweep kernel traversal; same results as traverse_cluster.
 
     Opaque to autodiff (zero gradients — discrete selector contract).
@@ -329,16 +371,24 @@ def traverse_cluster_sweep(cb: ClusterBvh, origin, direction, *,
     HBM -> SMEM in PAGE windows) with no node-count ceiling.
     tile/unroll override the module defaults (per-ray results are
     invariant to both; they only schedule — tools/tune_sweep.py).
+    emit_attrs=True (requires cb built with uv/face_nrm/mat tables)
+    additionally returns the winning hit's interpolated uv, oriented
+    geometric normal, material id and barycentric u/v — the in-kernel
+    shading fetch (settings.shade_fetch == "kernel").
     """
     if t_max is None:
         t_max = jnp.float32(BIG)
+    if emit_attrs and cb.uv is None:
+        raise ValueError("emit_attrs requires attribute tables "
+                         "(build_cluster_bvh uv/face_nrm/mat)")
     return _opaque(anyhit, interpret, tile or TILE,
-                   unroll or UNROLL)(cb, origin, direction, t_max)
+                   unroll or UNROLL, emit_attrs)(cb, origin, direction,
+                                                 t_max)
 
 
 def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
                    *, anyhit: bool, interpret: bool, tile: int = TILE,
-                   unroll: int = UNROLL):
+                   unroll: int = UNROLL, emit_attrs: bool = False):
     n = origin.shape[0]
     m = cb.n_nodes
     k = cb.k
@@ -379,23 +429,33 @@ def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
 
     # fused planar component table (10K, C), clusters on lanes:
     # rows [v0x v0y v0z | e1xyz | e2xyz | tri_idx] x K — a leaf visit
-    # is ONE one-hot matvec
+    # is ONE one-hot matvec. With emit_attrs, 10 more planar row groups
+    # [uv0x uv0y uv1x uv1y uv2x uv2y | fn xyz | mat] -> (20K, C).
     def plane_T(a):  # (C, K, 3) -> (3K, C)
         return jnp.concatenate([a[..., 0], a[..., 1], a[..., 2]],
                                axis=1).T
 
-    tri_tab = jnp.concatenate(
-        [plane_T(cb.v0), plane_T(cb.e1), plane_T(cb.e2),
-         cb.tri_idx.astype(jnp.float32).T], axis=0)  # (10K, C_pad)
+    parts = [plane_T(cb.v0), plane_T(cb.e1), plane_T(cb.e2),
+             cb.tri_idx.astype(jnp.float32).T]
+    if emit_attrs:
+        uv = cb.uv
+        parts += [uv[..., 0, 0].T, uv[..., 0, 1].T,
+                  uv[..., 1, 0].T, uv[..., 1, 1].T,
+                  uv[..., 2, 0].T, uv[..., 2, 1].T,
+                  plane_T(cb.face_nrm),
+                  cb.mat.astype(jnp.float32).T]
+    tri_tab = jnp.concatenate(parts, axis=0)  # (10K or 20K, C_pad)
 
+    rows = 16 if emit_attrs else 8
     ray_spec = pl.BlockSpec((8, tile), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((8, tile), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((rows, tile), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     kernel = partial(_kernel, m=m, c=c_pad, k=k, anyhit=anyhit,
-                     paged=paged, m_pad=m_pad, unroll=unroll)
+                     paged=paged, m_pad=m_pad, unroll=unroll,
+                     attrs=emit_attrs)
 
     node_space = pl.ANY if paged else pltpu.SMEM
     scratch = [pltpu.VMEM((1, tile), jnp.int32),
@@ -403,6 +463,8 @@ def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
                pltpu.VMEM((1, tile), jnp.int32),
                pltpu.VMEM((1, tile), jnp.int32),
                pltpu.SMEM((2,), jnp.int32)]
+    if emit_attrs:
+        scratch += [pltpu.VMEM((8, tile), jnp.float32)]
     if paged:
         scratch += [pltpu.SMEM((2 * PAGE * 6,), jnp.float32),
                     pltpu.SMEM((2 * PAGE * 2,), jnp.int32),
@@ -417,20 +479,33 @@ def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
                   pl.BlockSpec(memory_space=node_space),
                   ray_spec, tab_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, tile), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * rows, tile),
+                                       jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
     )(node_box, node_link, rays, tri_tab)
 
-    packed = packed.reshape(n_tiles, 8, tile)
-    hit_t = packed[:, 0, :].reshape(-1)[:n]
-    hit_idx = packed[:, 1, :].reshape(-1)[:n].astype(jnp.int32)
-    visits = packed[:, 2, :].reshape(-1)[:n].astype(jnp.int32)
+    packed = packed.reshape(n_tiles, rows, tile)
+
+    def row(i):
+        return packed[:, i, :].reshape(-1)[:n]
+
+    hit_t = row(0)
+    hit_idx = row(1).astype(jnp.int32)
+    visits = row(2).astype(jnp.int32)
     stop = jax.lax.stop_gradient
-    return {"hit_idx": stop(hit_idx), "t": stop(hit_t),
-            "visits": stop(visits),
-            # per-tile EXECUTED work (see _kernel tail): the attribution
-            # inputs for the speed-of-light model. Dropped by the sorted-
-            # tracer wrappers; read by bench/roofline tooling.
-            "exec_windows": stop(packed[:, 3, 0].astype(jnp.int32)),
-            "exec_leafs": stop(packed[:, 4, 0].astype(jnp.int32))}
+    out = {"hit_idx": stop(hit_idx), "t": stop(hit_t),
+           "visits": stop(visits),
+           # per-tile EXECUTED work (see _kernel tail): the attribution
+           # inputs for the speed-of-light model. Dropped by the sorted-
+           # tracer wrappers; read by bench/roofline tooling.
+           "exec_windows": stop(packed[:, 3, 0].astype(jnp.int32)),
+           "exec_leafs": stop(packed[:, 4, 0].astype(jnp.int32))}
+    if emit_attrs:
+        out.update({
+            "u": stop(row(5)), "v": stop(row(6)),
+            "uv": stop(jnp.stack([row(7), row(8)], axis=-1)),
+            "face_nrm": stop(jnp.stack([row(9), row(10), row(11)],
+                                       axis=-1)),
+            "mat": stop(row(12).astype(jnp.int32))})
+    return out

@@ -61,18 +61,64 @@ def _onehot_rows(idx, table):
 
 
 def _resolve_fetch(scene, settings) -> str:
-    """Static choice of shading attribute fetch: one-hot matmul vs gather.
+    """Static choice of shading attribute fetch: one-hot matmul vs gather
+    vs in-kernel emission.
 
     One-hot work grows linearly in triangle count; per-lane gathers are
     ~flat. On v5e the crossover sits in the tens of thousands of rows, so
     one-hot wins for every bundled scene — the cap is a safety valve for
     huge soups. CPU (tests, sharding sim) keeps native gathers.
+    "kernel" (explicit opt-in, see scene/settings.py) moves the whole
+    triangle-attribute fetch into the sweep traversal kernel.
     """
+    if settings.shade_fetch == "kernel":
+        if settings.smooth_shading or settings.soft_edges > 0.0 \
+                or settings.alpha_test:
+            raise ValueError(
+                "shade_fetch='kernel' is incompatible with "
+                "smooth_shading/soft_edges/alpha_test (they need "
+                "per-hit wavefront recomputation)")
+        if scene.cluster is None or scene.cluster.uv is None:
+            raise ValueError("shade_fetch='kernel' needs cluster "
+                             "attribute tables (build_cluster_bvh uv/"
+                             "face_nrm/mat)")
+        return "kernel"
     if settings.shade_fetch != "auto":
         return settings.shade_fetch
     if jax.default_backend() == "cpu":
         return "gather"
     return "onehot" if scene.tri_pos.shape[0] <= 16384 else "gather"
+
+
+def _mat_fetch(fetch: str) -> str:
+    """Material-table fetch mode: the material table is tiny, so the
+    kernel path still fetches it on the wavefront (one-hot on TPU)."""
+    if fetch != "kernel":
+        return fetch
+    return "gather" if jax.default_backend() == "cpu" else "onehot"
+
+
+def _shade_from_kernel(origin, direction, hit_idx, rec):
+    """shade_hits equivalent assembled from the sweep kernel's emitted
+    attributes (rec: t/u/v/uv/face_nrm/mat arrays). Everything except
+    world_position is stop-gradient (the kernel is an opaque discrete
+    selector); world_position = origin + t*direction keeps camera-ray
+    gradients alive. Used by shade_fetch='kernel' only."""
+    ok = hit_idx >= 0
+    t = jnp.where(ok, rec["t"], 1.0)
+    u = jnp.where(ok, rec["u"], 0.3)
+    v = jnp.where(ok, rec["v"], 0.3)
+    w = 1.0 - u - v
+    fn = rec["face_nrm"]
+    d_norm = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    front = jnp.sum(fn * d_norm, axis=-1) <= 0.0
+    normal = jnp.where(front[:, None], fn, -fn)
+    return {
+        "t": t, "bary": jnp.stack([w, u, v], axis=-1),
+        "world_position": origin + direction * t[:, None],
+        "normal": normal, "uv": rec["uv"],
+        "material": rec["mat"], "front_face": front,
+    }
 
 
 def _fetch_material(scene, mats, fetch: str):
@@ -360,6 +406,20 @@ def _sorted_tracers(scene, closest, anyhit):
     def closest_sorted(o, d):
         os_, ds_, lane = _sort_rays(o, d)
         r = closest(os_, ds_)
+        keys = ["t", "hit_idx", "visits"]
+        if "u" in r:  # kernel-emitted shading attributes ride along
+            keys += ["u", "v", "mat"]
+            ops = [r[k] for k in keys] + [
+                r["uv"][:, 0], r["uv"][:, 1],
+                r["face_nrm"][:, 0], r["face_nrm"][:, 1],
+                r["face_nrm"][:, 2]]
+            out = jax.lax.sort((lane, *ops), dimension=0, num_keys=1)
+            res = dict(zip(keys, out[1:1 + len(keys)]))
+            res["uv"] = jnp.stack(out[1 + len(keys):3 + len(keys)],
+                                  axis=-1)
+            res["face_nrm"] = jnp.stack(out[3 + len(keys):6 + len(keys)],
+                                        axis=-1)
+            return res
         out = jax.lax.sort(
             (lane, r["t"], r["hit_idx"], r["visits"]),
             dimension=0, num_keys=1)
@@ -392,7 +452,8 @@ def _make_tracers(scene, settings: RenderSettings):
 
     use_cluster = (scene.cluster is not None
                    and settings.traversal != "gather")
-    if settings.traversal in ("cluster", "brute") and scene.cluster is None:
+    if settings.traversal in ("cluster", "brute", "sweep") \
+            and scene.cluster is None:
         raise ValueError(f"settings.traversal={settings.traversal!r} but the "
                          "scene was built without cluster tables "
                          "(cluster_k=None)")
@@ -410,8 +471,14 @@ def _make_tracers(scene, settings: RenderSettings):
     # past MAX_SMEM_NODES, so there is no scene-size ceiling). The XLA
     # cluster walk serves CPU (tests/sharding sim); ops/traverse_pallas'
     # one-hot kernel remains available as an explicit alternate backend.
+    on_cpu = jax.default_backend() == "cpu"
     use_sweep = (use_cluster and not use_brute
-                 and jax.default_backend() != "cpu")
+                 and (not on_cpu or settings.traversal == "sweep"))
+    emit = settings.shade_fetch == "kernel"
+    if emit and not use_sweep:
+        raise ValueError("shade_fetch='kernel' requires the sweep "
+                         "traversal backend (settings.traversal='sweep' "
+                         "to force it on CPU, interpret mode)")
     if use_brute:
         def closest(o, d):
             return traverse_brute(scene.cluster, o, d)
@@ -421,10 +488,13 @@ def _make_tracers(scene, settings: RenderSettings):
                                   anyhit=True)["hit_idx"] >= 0
     elif use_sweep:
         def closest(o, d):
-            return traverse_cluster_sweep(scene.cluster, o, d)
+            return traverse_cluster_sweep(scene.cluster, o, d,
+                                          interpret=on_cpu,
+                                          emit_attrs=emit)
 
         def anyhit(o, d):
-            r = traverse_cluster_sweep(scene.cluster, o, d, anyhit=True)
+            r = traverse_cluster_sweep(scene.cluster, o, d, anyhit=True,
+                                       interpret=on_cpu)
             return r["hit_idx"] >= 0
     elif use_cluster:
         def closest(o, d):
@@ -477,6 +547,7 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
     sun_pos = lights.sun_position()
     sun_col = lights.sun_color * lights.sun_intensity
 
+    kernel_mode = fetch == "kernel"
     if tracing:
         trace_closest, trace_anyhit = tracers
         # park DEAD lanes far outside the scene so their walks terminate
@@ -487,8 +558,12 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
         o_live = jnp.where(alive[:, None], origin, 3.0e37)
         res = trace_closest(o_live, direction)
         hit_idx = jnp.where(alive, res["hit_idx"], -1)
+        krec = {k: res[k] for k in ("t", "u", "v", "uv", "face_nrm",
+                                    "mat")} if kernel_mode else None
     else:
         hit_idx = traced["hit_idx"]
+        krec = {k: traced[k] for k in ("t", "u", "v", "uv", "face_nrm",
+                                       "mat")} if kernel_mode else None
 
     # --- soft-edge visibility (boundary-term gradients) ---
     # Near a triangle edge the hard hit/miss decision hides the visibility
@@ -570,9 +645,12 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
     light = light + jnp.where(add_sky[:, None],
                               throughput * sky * lights.sky_intensity, 0.0)
 
-    sh = shade_hits(scene, origin, direction, hit_idx, fetch,
-                    smooth=settings.smooth_shading)
-    matd = _fetch_material(scene, sh["material"], fetch)
+    if kernel_mode:
+        sh = _shade_from_kernel(origin, direction, hit_idx, krec)
+    else:
+        sh = shade_hits(scene, origin, direction, hit_idx, fetch,
+                        smooth=settings.smooth_shading)
+    matd = _fetch_material(scene, sh["material"], _mat_fetch(fetch))
 
     # --- emission (PBR mode; the reference parses EmissiveFactor but
     #     never shades it, Material.cuh:10-22) ---
@@ -730,6 +808,8 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
 
     new_carry = (new_origin, bounce_dir, throughput, light, alive, rng)
     ys = {"hit_idx": hit_idx, "occluded": occluded, "survive": survive}
+    if kernel_mode:
+        ys.update(krec)
     if settings.soft_edges > 0.0:
         ys["edge_idx"] = edge_idx
         ys["kept"] = kept
@@ -774,9 +854,14 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
         hit_idx = res["hit_idx"]
         live_hit = alive & (hit_idx >= 0)
         fetch = _resolve_fetch(scene, settings)
-        sh = shade_hits(scene, origin, direction, hit_idx, fetch,
-                        smooth=settings.smooth_shading)
-        alb = _albedo(scene, _fetch_material(scene, sh["material"], fetch),
+        if fetch == "kernel":
+            sh = _shade_from_kernel(origin, direction, hit_idx, res)
+        else:
+            sh = shade_hits(scene, origin, direction, hit_idx, fetch,
+                            smooth=settings.smooth_shading)
+        alb = _albedo(scene,
+                      _fetch_material(scene, sh["material"],
+                                      _mat_fetch(fetch)),
                       sh["uv"], bilinear=settings.tex_filter == "bilinear")
         throughput = jnp.where(live_hit[:, None], throughput * alb, throughput)
         sky = _sky(direction, lights)

@@ -227,7 +227,8 @@ def build_scene(doc: GltfDocument, leaf_target: int = MAX_LEAF,
     if cluster_k:
         from dustraytracer_tpu.accel.cluster import build_cluster_bvh
 
-        cluster = build_cluster_bvh(pos_p, k=cluster_k, bins=bins)
+        cluster = build_cluster_bvh(pos_p, k=cluster_k, bins=bins,
+                                    uv=uv_p, face_nrm=fn_p, mat=mat_p)
 
     return Scene(
         cluster=cluster,

@@ -71,10 +71,13 @@ class RenderSettings:
     #   metallic/roughness/emissive parsed but unused, Material.cuh:10-22)
     #   pbr = emissive emission + metallic specular lobe with roughness
     #   fuzz (north-star "full PBR materials" / EmissiveTest.glb)
-    traversal: str = "auto"         # "auto" | "cluster" | "gather" | "brute":
+    traversal: str = "auto"         # "auto" | "cluster" | "gather" |
+    #   "brute" | "sweep":
     #   cluster = gather-free one-hot MXU walk (ops/traverse_cluster.py),
     #   gather = threaded per-lane gather walk (ops/traverse.py),
-    #   brute = all-pairs, no BVH (ops/traverse_brute.py).
+    #   brute = all-pairs, no BVH (ops/traverse_brute.py),
+    #   sweep = force the min-sweep Pallas kernel (interpret mode on
+    #   CPU — how tests exercise shade_fetch='kernel' off-chip).
     #   auto picks brute for tiny scenes (<= brute_max_tris), else cluster
     #   when the scene carries cluster tables and the mode supports it
     #   (stale-geometry vertex optimization needs gather; alpha_test stays
@@ -82,11 +85,22 @@ class RenderSettings:
     brute_max_tris: int = 512       # "auto" crossover: scenes at or below
     #   this many (padded) triangles skip the BVH — walk-kernel dispatch
     #   overhead exceeds the cost of just testing everything
-    shade_fetch: str = "auto"       # "auto" | "onehot" | "gather": how the
-    #   shading phase fetches per-hit triangle/material attributes.
-    #   onehot = one fused one-hot matmul per table (MXU; TPU has no
-    #   hardware gather so this is ~6x faster at bundled-scene sizes),
-    #   gather = native table[idx]. auto = onehot on TPU up to 16k tris.
+    shade_fetch: str = "auto"       # "auto" | "onehot" | "gather" |
+    #   "kernel": how the shading phase fetches per-hit triangle
+    #   attributes. onehot = one fused one-hot matmul per table (MXU;
+    #   TPU has no hardware gather so this is ~6x faster at
+    #   bundled-scene sizes), gather = native table[idx], auto = onehot
+    #   on TPU up to 16k tris. kernel = the sweep traversal kernel
+    #   emits the winning hit's u/v/uv/normal/material itself
+    #   (in-kernel shading, like the reference megakernel
+    #   RayGen.cuh:110-118) — O(leafs visited) instead of
+    #   O(rays x tris) per shade site, the fast path for big scenes.
+    #   EXPLICIT OPT-IN because it changes gradient semantics: hit
+    #   geometry becomes stop-gradient (materials/textures/lights
+    #   still differentiate; vertex/silhouette gradients do not).
+    #   Requires the sweep backend; incompatible with smooth_shading,
+    #   soft_edges and alpha_test (those need per-hit wavefront
+    #   recomputation) — _resolve_fetch raises on bad combos.
     alpha_test: bool = False        # alpha-cutout any-hit (AnyHit.cuh:8-28)
     alpha_rounds: int = 8           # max re-traces past transparent hits
     #   on the cluster fast path (stacked-cutout depth bound)

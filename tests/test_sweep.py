@@ -132,3 +132,115 @@ def test_sweep_paged_matches_resident(monkeypatch):
                                np.asarray(resident["t"]), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(paged["visits"]),
                                   np.asarray(resident["visits"]))
+
+
+def test_sweep_emit_attrs_match_shade_recompute():
+    """emit_attrs=True: the kernel's in-kernel shading fetch (winner
+    u/v, interpolated uv, oriented face normal, material id) must equal
+    the wavefront recompute from the hit ids."""
+    scene = build_scene(make_random_tri_doc(500, seed=9), use_native=False)
+    cb = scene.cluster
+    assert cb.uv is not None and cb.face_nrm is not None
+    rng = np.random.default_rng(4)
+    o = rng.uniform(-12, 12, (700, 3)).astype(np.float32)
+    tgt = rng.uniform(-4, 4, (700, 3)).astype(np.float32)  # aim at soup
+    d = tgt - o
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    o = jnp.asarray(o)
+
+    res = traverse_cluster_sweep(cb, o, d, interpret=True,
+                                 emit_attrs=True)
+    hit = np.asarray(res["hit_idx"])
+    m = hit >= 0
+    assert m.sum() > 50
+
+    from dustraytracer_tpu.ops.intersect import moller_trumbore
+    safe = np.maximum(hit, 0)
+    tp = np.asarray(scene.tri_pos)
+    _ok, t_ref, u_ref, v_ref = (np.asarray(x) for x in moller_trumbore(
+        o, d, jnp.asarray(tp[safe, 0]), jnp.asarray(tp[safe, 1]),
+        jnp.asarray(tp[safe, 2])))
+    np.testing.assert_allclose(np.asarray(res["u"])[m], u_ref[m],
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res["v"])[m], v_ref[m],
+                               rtol=2e-3, atol=2e-4)
+    uv_tab = np.asarray(scene.tri_uv)[safe]
+    w_ref = 1.0 - u_ref - v_ref
+    uv_ref = (w_ref[:, None] * uv_tab[:, 0] + u_ref[:, None] * uv_tab[:, 1]
+              + v_ref[:, None] * uv_tab[:, 2])
+    np.testing.assert_allclose(np.asarray(res["uv"])[m], uv_ref[m],
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res["face_nrm"])[m],
+                               np.asarray(scene.tri_face_nrm)[safe][m],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(res["mat"])[m],
+                                  np.asarray(scene.tri_mat)[safe][m])
+
+
+def test_sweep_emit_attrs_same_hits_as_plain():
+    """Attribute emission must not perturb the walk itself."""
+    scene = build_scene(make_random_tri_doc(300, seed=2), use_native=False)
+    cb = scene.cluster
+    rng = np.random.default_rng(6)
+    o = jnp.asarray(rng.uniform(-10, 10, (512, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(512, 3)).astype(np.float32))
+    plain = traverse_cluster_sweep(cb, o, d, interpret=True)
+    emit = traverse_cluster_sweep(cb, o, d, interpret=True,
+                                  emit_attrs=True)
+    for key in ("hit_idx", "t", "visits"):
+        np.testing.assert_array_equal(np.asarray(plain[key]),
+                                      np.asarray(emit[key]))
+
+
+def test_kernel_shade_fetch_matches_wavefront_render():
+    """Full render with shade_fetch='kernel' (in-kernel attribute
+    emission, sweep forced in interpret mode) vs the wavefront gather
+    fetch on the same sweep traversal: same RNG, same discrete
+    decisions, so images agree except where float-identical t/uv
+    recomputation vs kernel emission (~1e-6 relative) lands a bounce on
+    a different side of a silhouette — gate on the 99th percentile."""
+    from dustraytracer_tpu.render.integrator import render_sample
+    from dustraytracer_tpu.scene.camera import make_camera
+    from dustraytracer_tpu.scene.settings import LightParams, RenderSettings
+
+    scene = build_scene(make_random_tri_doc(400, seed=3), use_native=False)
+    cam = make_camera(position=(0, 2, 12), look_at=(0, 0, 0), vfov_deg=50)
+    base = RenderSettings(bounces=2, enable_tonemap=False,
+                          enable_gamma=False, traversal="sweep")
+    lights = LightParams.from_settings(base)
+
+    a = np.asarray(render_sample(
+        scene, cam, lights, jnp.uint32(1), width=48, height=48,
+        settings=base.replace(shade_fetch="kernel")))
+    b = np.asarray(render_sample(
+        scene, cam, lights, jnp.uint32(1), width=48, height=48,
+        settings=base.replace(shade_fetch="gather")))
+    assert np.isfinite(a).all()
+    diff = np.abs(a - b)
+    assert np.quantile(diff, 0.99) < 1e-3, np.quantile(diff, 0.99)
+    assert np.median(diff) < 1e-5
+
+
+def test_kernel_shade_fetch_material_gradients_flow():
+    """shade_fetch='kernel' keeps material/light gradients alive (only
+    geometry becomes stop-gradient)."""
+    from dustraytracer_tpu.render.integrator import render_pixels
+    from dustraytracer_tpu.scene.camera import make_camera
+    from dustraytracer_tpu.scene.settings import LightParams, RenderSettings
+
+    scene = build_scene(make_random_tri_doc(300, seed=8), use_native=False)
+    cam = make_camera(position=(0, 2, 12), look_at=(0, 0, 0), vfov_deg=50)
+    s = RenderSettings(bounces=2, enable_tonemap=False, enable_gamma=False,
+                       traversal="sweep", shade_fetch="kernel")
+    lights = LightParams.from_settings(s)
+    ids = jnp.arange(24 * 24, dtype=jnp.int32)
+
+    def loss(albedo):
+        img = render_pixels(scene.replace(mat_albedo=albedo), cam, lights,
+                            jnp.uint32(0), ids, width=24, height=24,
+                            settings=s)
+        return jnp.mean(img)
+
+    g = np.asarray(jax.grad(loss)(scene.mat_albedo))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0.0
