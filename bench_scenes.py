@@ -141,6 +141,52 @@ def main(argv=None):
             entry["fwdbwd_mrays_per_s"] = round(
                 w * h * 2 * bounces / dt / 1e6, 3)
 
+            # --- in-kernel shading fetch variant (shade_fetch='kernel';
+            # the sweep kernel emits hit attributes itself — the fast
+            # path for big scenes where the wavefront one-hot fetch is
+            # O(rays x tris) per shade site) ---
+            if (scene.cluster is not None
+                    and scene.cluster.uv is not None
+                    and scene.n_tris > settings.brute_max_tris):
+                ksettings = settings.replace(shade_fetch="kernel")
+
+                def kfwd(frame):
+                    return jnp.sum(render_sample(
+                        scene, cam, lights, frame, width=w, height=h,
+                        settings=ksettings))
+
+                kfwd_j = jax.jit(kfwd)
+                float(kfwd_j(jnp.uint32(0)))
+
+                def kdispatch():
+                    fbox[0] += 1
+                    return kfwd_j(jnp.uint32(fbox[0]))
+
+                dt = delta_time_dispatch(kdispatch, float,
+                                         reps=max(spp, 4))
+                entry["fwd_kernelfetch_ms_per_sample"] = round(dt * 1e3, 2)
+                entry["fwd_kernelfetch_mrays_per_s"] = round(
+                    w * h * 2 * bounces / dt / 1e6, 3)
+
+                def kloss(albedo, frame):
+                    img = render_sample(
+                        scene.replace(mat_albedo=albedo), cam, lights,
+                        frame, width=w, height=h, settings=ksettings)
+                    return jnp.mean(img)
+
+                kbwd_j = jax.jit(jax.value_and_grad(kloss))
+                float(kbwd_j(scene.mat_albedo, jnp.uint32(0))[0])
+
+                def kbdispatch():
+                    fbox[0] += 1
+                    return kbwd_j(scene.mat_albedo, jnp.uint32(fbox[0]))
+
+                dt = delta_time_dispatch(kbdispatch,
+                                         lambda o: float(o[0]),
+                                         reps=max(spp, 4))
+                entry["fwdbwd_kernelfetch_mrays_per_s"] = round(
+                    w * h * 2 * bounces / dt / 1e6, 3)
+
             # --- traversal kernel in isolation + SoL (BVH scenes only) ---
             if (not args.skip_sol and scene.cluster is not None
                     and scene.n_tris > settings.brute_max_tris):

@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "shades with flat face normals)")
     r.add_argument("--tex-filter", choices=["point", "bilinear"],
                    default="point")
+    r.add_argument("--shade-fetch",
+                   choices=["auto", "onehot", "gather", "kernel"],
+                   default="auto", help="per-hit attribute fetch; "
+                   "kernel = in-kernel emission by the sweep traversal "
+                   "(fastest for big scenes; forward rendering only)")
     r.add_argument("--shading", choices=["reference", "pbr"],
                    default="reference",
                    help="pbr adds emissive + metallic/roughness lobes")
@@ -129,7 +134,7 @@ def cmd_render(args) -> int:
         sky_intensity=args.sky_intensity, sky_color=tuple(args.sky_color),
         alpha_test=args.alpha_test, russian_roulette=args.russian_roulette,
         smooth_shading=args.smooth_shading, tex_filter=args.tex_filter,
-        shading=args.shading)
+        shading=args.shading, shade_fetch=args.shade_fetch)
     if args.debug_view:
         settings = settings.replace(
             render_mode=RenderMode.DEBUG,
