@@ -87,7 +87,22 @@ def _resolve_fetch(scene, settings) -> str:
         return settings.shade_fetch
     if jax.default_backend() == "cpu":
         return "gather"
-    return "onehot" if scene.tri_pos.shape[0] <= 16384 else "gather"
+    n = scene.tri_pos.shape[0]
+    # dense mid-size scenes: the wavefront one-hot fetch pays O(rays x n)
+    # per shade site while the in-kernel fetch only doubles the (cheap)
+    # leaf matvec — measured crossover on v5e: dense_monkey (15.7k tris)
+    # fwd 12.4 -> 16.7 Mrays/s, cs16 (11.2k) 10.9 -> 11.4, while suzanne
+    # (970) prefers one-hot and katana (90.7k, huge cluster table) loses
+    # 2x with doubled leaves (bench_report.json r3 *_kernelfetch_*).
+    if (8192 <= n <= 16384
+            and scene.cluster is not None and scene.cluster.uv is not None
+            and not (settings.smooth_shading or settings.soft_edges > 0.0
+                     or settings.alpha_test)
+            and settings.traversal in ("auto", "sweep")
+            and scene.cluster.n_clusters * scene.cluster.k
+            > settings.brute_max_tris):
+        return "kernel"
+    return "onehot" if n <= 16384 else "gather"
 
 
 def _mat_fetch(fetch: str) -> str:
@@ -830,6 +845,10 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
     (discrete, kernels, stop-grad) then shade (differentiable replay).
     """
     n = pixel_ids.shape[0]
+    # normalize the fetch mode ONCE so the tracer construction
+    # (_make_tracers' emit_attrs) and every _segment agree on the same
+    # concrete choice — "auto" may resolve to the in-kernel fetch
+    settings = settings.replace(shade_fetch=_resolve_fetch(scene, settings))
     debug = settings.render_mode == RenderMode.DEBUG
 
     def start_rays(cam):

@@ -1,0 +1,113 @@
+"""Inverse rendering ON THE CHIP: BASELINE configs 4-5 regression.
+
+Round-2 verdict item 4: configs 4-5 were recorded CPU-only, and vertex
+optimization used to force the slow gather walk. Both now run on the
+real TPU through the sweep kernel fast path (vertex steps re-bake the
+cluster tables from live tri_pos, accel/cluster.py refit_cluster_bvh).
+These are scaled-down on-device regressions of the recorded runs in
+results/BASELINE_CONFIGS.md; the workload definition matches
+BASELINE.json configs[3] (room.glb full-PBR material grads) and
+configs[4] (valorant_katana vertex grads).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+MODELS = "/root/reference/models"
+
+
+def _needs(path):
+    if not os.path.exists(path):
+        pytest.skip(f"{os.path.basename(path)} not bundled")
+    return path
+
+
+def _descend(scene, cam, settings, params0, steps, lr, w=96, h=96):
+    """Tiny adam loop: self-test target from true params, scrambled
+    init, return (first_loss, last_loss, recovered params)."""
+    import optax
+
+    from dustraytracer_tpu.parallel.shard import apply_params
+    from dustraytracer_tpu.render.integrator import render_sample
+    from dustraytracer_tpu.scene.settings import LightParams
+
+    lights = LightParams.from_settings(settings)
+    target = render_sample(scene, cam, lights, jnp.uint32(0),
+                           width=w, height=h, settings=settings)
+
+    def loss_fn(params):
+        sc, c, li = apply_params(scene, cam, lights, params)
+        img = render_sample(sc, c, li, jnp.uint32(0),
+                            width=w, height=h, settings=settings)
+        return jnp.mean((img - target) ** 2)
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(params0)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = params0
+    first = last = None
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+        if i == 0:
+            first = float(loss)
+        last = float(loss)
+    return first, last, params
+
+
+def test_material_descent_room_tpu():
+    """Config-4 regression: full-PBR material grads on room.glb descend
+    on the chip (compiled kernels, not interpret)."""
+    from dustraytracer_tpu.scene import load_scene, make_camera
+    from dustraytracer_tpu.scene.settings import RenderSettings
+
+    scene = load_scene(_needs(os.path.join(MODELS, "room.glb")))
+    cam = make_camera(position=(0, 1, 4), look_at=(0, 1, 0), vfov_deg=60)
+    settings = RenderSettings(bounces=2, enable_tonemap=False,
+                              enable_gamma=False, shading="pbr")
+    key = jax.random.PRNGKey(1)
+    params0 = {
+        "mat_albedo": scene.mat_albedo * 0.5
+        + 0.25 * jax.random.uniform(key, scene.mat_albedo.shape),
+        "mat_metallic": jnp.clip(scene.mat_metallic + 0.3, 0, 1),
+    }
+    first, last, _ = _descend(scene, cam, settings, params0,
+                              steps=25, lr=5e-2)
+    assert last < 0.3 * first, (first, last)
+
+
+def test_vertex_descent_katana_fast_path_tpu():
+    """Config-5 regression: vertex grads on valorant_katana through the
+    SWEEP kernel (live cluster re-bake) on the chip. The scene pages its
+    node tables (2835 nodes > MAX_SMEM_NODES), so this also drives the
+    paged DMA path under autodiff."""
+    from dustraytracer_tpu.ops import traverse_sweep
+    from dustraytracer_tpu.scene import load_scene, make_camera
+    from dustraytracer_tpu.scene.settings import RenderSettings
+
+    scene = load_scene(_needs(os.path.join(MODELS, "valorant_katana.glb")))
+    assert scene.cluster.n_nodes > traverse_sweep.MAX_SMEM_NODES
+    cam = make_camera(position=(0, 2.9, 3.2), look_at=(-0.5, 2.9, 0),
+                      vfov_deg=70)
+    settings = RenderSettings(bounces=2, enable_tonemap=False,
+                              enable_gamma=False, soft_edges=0.05,
+                              nee_cosine=True)
+    key = jax.random.PRNGKey(2)
+    params0 = {"tri_pos": scene.tri_pos + jax.random.uniform(
+        key, scene.tri_pos.shape, minval=-0.02, maxval=0.02)}
+    first, last, _ = _descend(scene, cam, settings, params0,
+                              steps=12, lr=2e-3)
+    assert last < 0.85 * first, (first, last)
