@@ -56,6 +56,11 @@ def main(argv=None):
     p.add_argument("--out", default="bench_report.json")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--skip-sol", action="store_true")
+    p.add_argument("--configs", default="",
+                   help="comma-separated config names to (re)run; with "
+                   "--merge, other configs keep their entries from the "
+                   "existing --out file")
+    p.add_argument("--merge", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
         import jax
@@ -79,8 +84,20 @@ def main(argv=None):
                         "un-pipelined sample pays",
               "configs": []}
     rates_cache = {}
+    only = {c for c in args.configs.split(",") if c}
+    prior = {}
+    if args.merge:
+        import os
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                prior = {c["config"]: c
+                         for c in json.load(f).get("configs", [])}
 
     for name, scene_file, w, h, bounces, spp in CONFIGS:
+        if only and name not in only:
+            if name in prior:
+                report["configs"].append(prior[name])
+            continue
         scene = load_scene(f"/root/reference/models/{scene_file}")
         cam = make_camera(**CAMERAS[scene_file])
         settings = RenderSettings(bounces=bounces, enable_tonemap=False,

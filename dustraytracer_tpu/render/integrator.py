@@ -527,9 +527,13 @@ def _make_tracers(scene, settings: RenderSettings):
             return traverse_anyhit(scene, o, d,
                                    alpha_test=settings.alpha_test)
 
+    # sort whenever the sweep kernel runs: even a 31-node scene
+    # (suzanne) measures 21% faster frames sorted — the dead-lane
+    # parking only packs terminated rays into instantly-finishing tiles
+    # when the sort clusters them (round-3 ablation: b4 frame 64.9 ->
+    # 51.4 ms with sort forced on vs the old >=128-node auto rule)
     sort = settings.ray_sort == "on" or (
-        settings.ray_sort == "auto" and use_sweep
-        and scene.cluster.n_nodes >= 128)
+        settings.ray_sort == "auto" and use_sweep)
     if sort:
         closest, anyhit = _sorted_tracers(scene, closest, anyhit)
     if use_cluster and settings.alpha_test:

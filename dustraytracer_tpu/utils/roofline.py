@@ -49,12 +49,19 @@ from dustraytracer_tpu.ops.traverse_sweep import TILE  # kernel tile size
 
 
 def delta_time_dispatch(dispatch, fence, reps: int = 8,
-                        rounds: int = 3) -> float:
-    """DEVICE seconds per dispatch: wall(2R reps) - wall(R reps), best of
-    `rounds`. Cancels the ~5-25 ms fixed per-dispatch/fetch latency the
-    axon tunnel adds — timing single fenced dispatches reports that
+                        rounds: int = 5) -> float:
+    """DEVICE seconds per dispatch: wall(2R reps) - wall(R reps), MEDIAN
+    of `rounds`. Cancels the ~5-25 ms fixed per-dispatch/fetch latency
+    the axon tunnel adds — timing single fenced dispatches reports that
     latency, not the kernel (round 2's 33 Mrays/s "measurement" of a
-    118 Mrays/s kernel was exactly this artifact)."""
+    118 Mrays/s kernel was exactly this artifact).
+
+    Median, NOT min: a tunnel stall inside the first (R-rep) segment
+    inflates t1 and DEFLATES that round's delta, so min keeps the most
+    corrupted reading — observed as a phantom 2.5x "speedup" on a
+    38 ms workload (round-3 cs16 log). Stalls in either segment push a
+    round's delta off in one direction; the median of 5 discards both
+    tails."""
     def run(n):
         t0 = time.perf_counter()
         out = None
@@ -64,12 +71,12 @@ def delta_time_dispatch(dispatch, fence, reps: int = 8,
         return time.perf_counter() - t0
 
     run(2)  # warm the dispatch pipeline
-    best = float("inf")
+    deltas = []
     for _ in range(rounds):
         t1 = run(reps)
         t2 = run(2 * reps)
-        best = min(best, (t2 - t1) / reps)
-    return best
+        deltas.append((t2 - t1) / reps)
+    return float(np.median(deltas))
 
 
 def device_seconds_per_call(call, n_lo: int = 2, n_hi: int = 8,
@@ -173,7 +180,11 @@ def calibrate_sweep_rates(k: int, c_pad: int, reps: int = 3,
     from dustraytracer_tpu.ops.traverse_sweep import traverse_cluster_sweep
 
     t_sz = tile or TILE
-    n_rays = 16 * t_sz
+    # 64 tiles: the m=128 internal chain must present a slope signal
+    # (n_hi - n_lo calls) well above the +-2-3 ms wall jitter of a
+    # single tunnel round trip — 16 tiles measured a 4 ms slope and
+    # went degenerate about one run in three (round-3 logs)
+    n_rays = 64 * t_sz
     rng = np.random.default_rng(0)
     o = jnp.asarray(rng.uniform(-1, 1, (n_rays, 3)).astype(np.float32))
     d = jnp.asarray(rng.normal(size=(n_rays, 3)).astype(np.float32))
