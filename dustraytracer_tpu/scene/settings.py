@@ -90,14 +90,17 @@ class RenderSettings:
     #   attributes. onehot = one fused one-hot matmul per table (MXU;
     #   TPU has no hardware gather so this is ~6x faster at
     #   bundled-scene sizes), gather = native table[idx], auto = onehot
-    #   on TPU up to 16k tris. kernel = the sweep traversal kernel
-    #   emits the winning hit's u/v/uv/normal/material itself
-    #   (in-kernel shading, like the reference megakernel
+    #   on TPU up to 16k tris (or kernel for dense mid-size scenes —
+    #   see render/integrator.py _resolve_fetch). kernel = the sweep
+    #   traversal kernel emits the winning hit's u/v/uv/normal/material
+    #   itself (in-kernel shading, like the reference megakernel
     #   RayGen.cuh:110-118) — O(leafs visited) instead of
     #   O(rays x tris) per shade site, the fast path for big scenes.
-    #   EXPLICIT OPT-IN because it changes gradient semantics: hit
-    #   geometry becomes stop-gradient (materials/textures/lights
-    #   still differentiate; vertex/silhouette gradients do not).
+    #   Gradient-complete since round 4: a custom VJP recomputes the
+    #   closed-form hit solution for the selected triangles in the
+    #   BACKWARD pass only (integrator._kernel_shade), so vertex /
+    #   camera / uv gradients match the wavefront fetch paths; callers
+    #   differentiating just materials/lights never pay the recompute.
     #   Requires the sweep backend; incompatible with smooth_shading,
     #   soft_edges and alpha_test (those need per-hit wavefront
     #   recomputation) — _resolve_fetch raises on bad combos.

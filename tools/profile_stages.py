@@ -1,26 +1,43 @@
 """Stage-level timing breakdown of a render sample on the real TPU.
 
-All timings use IN-GRAPH repetition (utils/roofline.py
+Covers BOTH passes (VERDICT r3 item 1: the fwd+bwd budget was never
+committed): forward stages and the backward costs of each differentiable
+fetch, plus the full fwd+bwd step for the two gradient workloads that
+matter (materials/lights — the bench metric — and vertex positions).
+
+All micro-stage timings use IN-GRAPH repetition (utils/roofline.py
 device_seconds_per_call): N invocations inside one dispatch, slope
 between two executables — cross-dispatch deltas through the axon tunnel
 jitter by +-2 ms, which is larger than several whole stages. Every
 stage sums ALL its outputs into the fence scalar so XLA cannot
 dead-code-eliminate payload operands (the round-3 rewrite caught the
 old script timing a 2-operand rump of the 8-operand payload sort).
+The full-sample stages use cross-dispatch delta timing instead
+(delta_time_dispatch) — in-graph x4 repetition of the fwd+bwd graph
+multiplies its already-long XLA compile.
 
 Stages:
-  - full fwd sample, and the same with sun NEE disabled (their
-    difference = the per-frame cost of the shadow-ray waves)
+  - full fwd sample; the same w/o sun NEE (difference = shadow-ray waves)
+  - full fwd+bwd, grads w.r.t. (mat_albedo, mat_emissive, lights) — the
+    bench.py workload
+  - full fwd+bwd, grads w.r.t. tri_pos (vertex optimization: includes
+    the in-graph cluster refit + the shade-phase scatter transpose)
   - raygen (RNG seed + camera rays)
-  - payload sort (the 8-operand lax.sort _sorted_tracers issues)
-  - traversal kernel on the sorted primary wave
-  - shade_hits (one-hot) + material/texture fetch per shade site
+  - payload sort (8-operand) and unsort (4-operand) lax.sort legs
+  - traversal kernel (closest + anyhit) on the sorted primary wave
+  - shade_hits fwd and its bwd w.r.t. tri_pos (the one-hot transpose =
+    scatter-add matmul the r3 verdict suspected)
+  - material+texture fetch fwd and its bwd w.r.t. (mat_albedo,
+    float tex_stack) — the texture-gather VJP
 
 Usage: python tools/profile_stages.py [scene.glb] [size] [bounces]
+Writes results/profile_<scene>_<size>_b<bounces>.json and prints one
+line per stage.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -38,10 +55,12 @@ def main():
                                                      render_sample,
                                                      shade_hits)
     from dustraytracer_tpu.ops.traverse_sweep import traverse_cluster_sweep
+    from dustraytracer_tpu.render.texture import decode_textures
     from dustraytracer_tpu.scene import load_scene, make_camera
     from dustraytracer_tpu.scene.camera import generate_rays
     from dustraytracer_tpu.scene.settings import LightParams, RenderSettings
-    from dustraytracer_tpu.utils.roofline import device_seconds_per_call
+    from dustraytracer_tpu.utils.roofline import (delta_time_dispatch,
+                                                  device_seconds_per_call)
 
     scene_path = sys.argv[1] if len(sys.argv) > 1 else \
         "/root/reference/models/suzanne_plane.glb"
@@ -61,33 +80,134 @@ def main():
     lights = LightParams.from_settings(settings)
     W = H = size
     n = W * H
-    print(f"scene={os.path.basename(scene_path)} "
-          f"tris={scene.tri_pos.shape[0]} nodes={scene.cluster.n_nodes} "
-          f"size={W}x{H} b={bounces}")
+    name = os.path.basename(scene_path)
+    print(f"scene={name} tris={scene.tri_pos.shape[0]} "
+          f"nodes={scene.cluster.n_nodes} size={W}x{H} b={bounces}",
+          flush=True)
+    report = {"scene": name, "tris": int(scene.tri_pos.shape[0]),
+              "size": [W, H], "bounces": bounces,
+              "device": str(jax.devices()[0]), "stages_ms": {}}
 
     def t_of(call, n_lo=1, n_hi=4):
         return device_seconds_per_call(call, n_lo=n_lo, n_hi=n_hi,
                                        repeats=3)
 
-    def stage(name, call, extra=""):
-        t = t_of(call)
-        print(f"{name:24s}: {t*1e3:8.2f} ms {extra}", flush=True)
+    def stage(name, call, extra="", n_hi=4):
+        # higher in-graph repetition for cheap stages: the wall-clock
+        # noise of one dispatch (+-1-2 ms) divided by (n_hi - n_lo)
+        # must sit well under the stage itself (r4: sorts measured
+        # NEGATIVE at n_hi=4)
+        t = t_of(call, n_hi=n_hi)
+        report["stages_ms"][name] = round(t * 1e3, 3)
+        print(f"{name:28s}: {t*1e3:8.2f} ms {extra}", flush=True)
+        return t
+
+    def stage_delta(name, dispatch, fence, extra=""):
+        t = delta_time_dispatch(dispatch, fence, reps=4)
+        report["stages_ms"][name] = round(t * 1e3, 3)
+        print(f"{name:28s}: {t*1e3:8.2f} ms {extra}", flush=True)
         return t
 
     rays = n * 2 * bounces
-    t_full = stage("full fwd sample", lambda i: jnp.sum(render_sample(
-        scene, camera, lights, jnp.uint32(i), width=W, height=H,
-        settings=settings)),
-        extra=f"({rays/1e6:.2f} Mrays)")
+
+    # --- full forward sample (cross-dispatch delta: in-graph repetition
+    # would multiply the long fwd compile) ---
+    fwd_j = jax.jit(lambda frame: jnp.sum(render_sample(
+        scene, camera, lights, frame, width=W, height=H,
+        settings=settings)))
+    box = [0]
+
+    def fdisp():
+        box[0] += 1
+        return fwd_j(jnp.uint32(box[0]))
+
+    t_full = stage_delta("full fwd sample", fdisp, float,
+                         extra=f"({rays/1e6:.2f} Mrays)")
 
     s_nosun = settings.replace(enable_sunlight=False)
     li_nosun = LightParams.from_settings(s_nosun)
-    t_nosun = stage("  w/o sun NEE", lambda i: jnp.sum(render_sample(
-        scene, camera, li_nosun, jnp.uint32(i), width=W, height=H,
+    ns_j = jax.jit(lambda frame: jnp.sum(render_sample(
+        scene, camera, li_nosun, frame, width=W, height=H,
         settings=s_nosun)))
-    print(f"  -> NEE waves cost {max(t_full - t_nosun, 0)*1e3:.2f} ms "
-          f"({bounces} anyhit traces + sun shading)")
 
+    def nsdisp():
+        box[0] += 1
+        return ns_j(jnp.uint32(box[0]))
+
+    t_nosun = stage_delta("  w/o sun NEE", nsdisp, float)
+    print(f"  -> NEE waves cost {max(t_full - t_nosun, 0)*1e3:.2f} ms "
+          f"({bounces} anyhit traces + sun shading)", flush=True)
+
+    # fetch-mode comparison: what would the OTHER shading fetch cost?
+    from dustraytracer_tpu.render.integrator import _resolve_fetch
+    resolved = _resolve_fetch(scene, settings)
+    report["resolved_fetch"] = resolved
+    print(f"  (auto shade_fetch resolves to {resolved!r})", flush=True)
+    for m in ("onehot", "kernel"):
+        if m == resolved:
+            continue
+        if m == "kernel" and (scene.cluster is None
+                              or scene.cluster.uv is None):
+            continue
+        if m == "onehot" and scene.tri_pos.shape[0] > 32768:
+            continue  # O(rays x 90k) matmuls: pointless to measure
+        try:
+            s_alt = settings.replace(shade_fetch=m)
+            alt_j = jax.jit(lambda frame, s_alt=s_alt: jnp.sum(
+                render_sample(scene, camera, lights, frame,
+                              width=W, height=H, settings=s_alt)))
+
+            def adisp(alt_j=alt_j):
+                box[0] += 1
+                return alt_j(jnp.uint32(box[0]))
+
+            stage_delta(f"full fwd (fetch={m})", adisp, float)
+        except Exception as e:
+            print(f"full fwd (fetch={m}) skipped: {e}", flush=True)
+
+    # --- full fwd+bwd: the bench.py gradient workload ---
+    def mat_loss(albedo, emissive, li, frame):
+        sc = scene.replace(mat_albedo=albedo, mat_emissive=emissive)
+        return jnp.mean(render_sample(sc, camera, li, frame,
+                                      width=W, height=H, settings=settings))
+
+    mat_grad = jax.jit(jax.value_and_grad(mat_loss, argnums=(0, 1, 2)))
+
+    def mdisp():
+        box[0] += 1
+        return mat_grad(scene.mat_albedo, scene.mat_emissive, lights,
+                        jnp.uint32(box[0]))
+
+    t_mb = stage_delta("full fwd+bwd (mat+lights)", mdisp,
+                       lambda o: float(o[0]))
+    print(f"  -> bwd adds {max(t_mb - t_full, 0)*1e3:.2f} ms over fwd",
+          flush=True)
+
+    # --- full fwd+bwd w.r.t. vertex positions (includes cluster refit) ---
+    from dustraytracer_tpu.accel.cluster import refit_cluster_bvh
+
+    def vtx_loss(tri_pos, frame):
+        sc = scene.replace(
+            tri_pos=tri_pos,
+            cluster=refit_cluster_bvh(scene.cluster, tri_pos))
+        return jnp.mean(render_sample(sc, camera, lights, frame,
+                                      width=W, height=H, settings=settings))
+
+    vtx_grad = jax.jit(jax.value_and_grad(vtx_loss))
+
+    def vdisp():
+        box[0] += 1
+        return vtx_grad(scene.tri_pos, jnp.uint32(box[0]))
+
+    try:
+        t_vb = stage_delta("full fwd+bwd (tri_pos)", vdisp,
+                           lambda o: float(o[0]))
+        print(f"  -> vertex bwd adds {max(t_vb - t_full, 0)*1e3:.2f} ms "
+              "over fwd", flush=True)
+    except Exception as e:
+        print(f"full fwd+bwd (tri_pos) failed: {e}", flush=True)
+
+    # --- micro-stages (in-graph repetition) ---
     ids = jnp.arange(n, dtype=jnp.int32)
     rng = seed_pixels(ids.astype(jnp.uint32), jnp.uint32(0))
     _r, o, d = generate_rays(camera, W, H, rng, pixel_ids=ids)
@@ -99,35 +219,99 @@ def main():
     key = ray_sort_key(scene.node_min[0], scene.node_max[0], o, d)
     perm = jnp.argsort(key)
     os_, ds_ = o[perm], d[perm]
+    lane = jnp.arange(n, dtype=jnp.int32)
 
     def sort_call(i):
         out = jax.lax.sort(
             (key + i, o[:, 0], o[:, 1], o[:, 2],
-             d[:, 0], d[:, 1], d[:, 2],
-             jnp.arange(n, dtype=jnp.int32)),
+             d[:, 0], d[:, 1], d[:, 2], lane),
             dimension=0, num_keys=1)
         # consume EVERY operand or XLA prunes them from the sort
         return sum(jnp.sum(x.astype(jnp.float32)) for x in out[1:])
 
-    stage("payload sort (x4/bounce)", sort_call)
+    stage("payload sort 8op (/closest)", sort_call, n_hi=16)
 
-    stage("traversal (sorted wave)", lambda i: jnp.sum(
+    def unsort_call(i):
+        out = jax.lax.sort(
+            (lane + i, os_[:, 0] + jnp.float32(i), key.astype(jnp.float32),
+             ds_[:, 0]),
+            dimension=0, num_keys=1)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in out[1:])
+
+    stage("payload unsort 4op", unsort_call, n_hi=16)
+
+    stage("traversal closest (sorted)", lambda i: jnp.sum(
         traverse_cluster_sweep(scene.cluster, os_ + jnp.float32(i) * 1e-6,
-                               ds_)["t"]))
+                               ds_)["t"]), n_hi=8)
+    stage("traversal anyhit (sorted)", lambda i: jnp.sum(
+        traverse_cluster_sweep(scene.cluster, os_ + jnp.float32(i) * 1e-6,
+                               ds_, anyhit=True)["t"]), n_hi=8)
+
+    # composite: the REAL per-trace cost the integrator pays (sort +
+    # kernel + unsort through _sorted_tracers)
+    from dustraytracer_tpu.render.integrator import _sorted_tracers
+
+    def mk_closest(oo, dd):
+        return traverse_cluster_sweep(scene.cluster, oo, dd)
+
+    def mk_anyhit(oo, dd):
+        return traverse_cluster_sweep(scene.cluster, oo, dd,
+                                      anyhit=True)["hit_idx"] >= 0
+
+    sc_closest, sc_anyhit = _sorted_tracers(scene, mk_closest, mk_anyhit)
+    stage("closest_sorted composite", lambda i: jnp.sum(
+        sc_closest(o + jnp.float32(i) * 1e-6, d)["t"]), n_hi=8)
+    stage("anyhit_sorted composite", lambda i: jnp.sum(
+        sc_anyhit(o + jnp.float32(i) * 1e-6, d).astype(jnp.float32)),
+        n_hi=8)
 
     res = jax.jit(lambda: traverse_cluster_sweep(scene.cluster, o, d))()
     hit = res["hit_idx"]
 
-    stage("shade_hits onehot", lambda i: sum(
-        jnp.sum(v.astype(jnp.float32))
-        for v in shade_hits(scene, o + jnp.float32(i) * 1e-6, d,
-                            hit, "onehot").values()))
+    def sh_sum(sc, oo):
+        return sum(jnp.sum(v.astype(jnp.float32))
+                   for v in shade_hits(sc, oo, d, hit, "onehot").values())
+
+    stage("shade_hits onehot fwd", lambda i: sh_sum(
+        scene, o + jnp.float32(i) * 1e-6))
+
+    # the one-hot transpose: scatter-add matmul over the triangle table
+    sh_bwd = jax.grad(lambda tp, oo: sh_sum(scene.replace(tri_pos=tp), oo))
+    stage("shade_hits bwd (tri_pos)", lambda i: jnp.sum(
+        sh_bwd(scene.tri_pos, o + jnp.float32(i) * 1e-6)))
 
     sh = jax.jit(lambda: shade_hits(scene, o, d, hit, "onehot"))()
     mats, uv = sh["material"], sh["uv"]
-    stage("material+texture fetch", lambda i: jnp.sum(_albedo(
-        scene, _fetch_material(scene, mats, "onehot"),
-        uv + jnp.float32(i) * 1e-7)))
+
+    def fetch_sum(albedo, uvq):
+        # albedo perturbation makes the one-hot table i-dependent so XLA
+        # CSE cannot share the fetch across in-graph repeats (r3 advisor)
+        sc = scene.replace(mat_albedo=albedo)
+        return jnp.sum(_albedo(sc, _fetch_material(sc, mats, "onehot"), uvq))
+
+    stage("material+texture fetch", lambda i: fetch_sum(
+        scene.mat_albedo * (1.0 + jnp.float32(i) * 1e-9),
+        uv + jnp.float32(i) * 1e-7))
+
+    if scene.tex_stack.shape[0] > 0:
+        fscene = decode_textures(scene)
+
+        def tex_sum(stack, uvq):
+            sc = fscene.replace(tex_stack=stack)
+            return jnp.sum(_albedo(sc, _fetch_material(sc, mats, "onehot"),
+                                   uvq))
+
+        tex_bwd = jax.grad(tex_sum)
+        stage("texture fetch bwd (stack)", lambda i: jnp.sum(
+            tex_bwd(fscene.tex_stack * (1.0 + jnp.float32(i) * 1e-9),
+                    uv + jnp.float32(i) * 1e-7)))
+
+    os.makedirs("results", exist_ok=True)
+    out = (f"results/profile_{os.path.splitext(name)[0]}"
+           f"_{size}_b{bounces}.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {out}", flush=True)
 
 
 if __name__ == "__main__":
