@@ -137,11 +137,21 @@ def main():
         result.update({
             "traversal_mrays_per_s": round(attr["mrays_per_s"], 2),
             "sol_pct": round(attr["sol_pct"], 2),
+            # unclipped ratio + useful/executed volume: together these
+            # keep the >=80% gate falsifiable (VERDICT r3 weak #3)
+            "sol_raw_pct": round(attr["sol_raw_pct"], 2),
             "kernel_window_ns": round(rates["window_ns"], 1),
             "kernel_leaf_ns": round(rates["leaf_ns"], 1),
             "exec_windows_per_tile": round(attr["windows_per_tile"], 2),
             "exec_leafs_per_tile": round(attr["leafs_per_tile"], 2),
             "leaf_share_pct": round(attr["leaf_share_pct"], 1),
+        })
+        from dustraytracer_tpu.utils.roofline import volume_efficiency
+        vol = volume_efficiency(scene.cluster, o, d, rates=rates)
+        result.update({
+            "vol_eff_pct": round(vol["vol_eff_pct"], 1),
+            "vol_eff_window_pct": round(vol["vol_eff_window_pct"], 1),
+            "vol_eff_leaf_pct": round(vol["vol_eff_leaf_pct"], 1),
         })
     except Exception as e:  # diagnostics must not sink the headline
         result["sol_error"] = f"{type(e).__name__}: {e}"[:200]

@@ -61,7 +61,12 @@ def delta_time_dispatch(dispatch, fence, reps: int = 8,
     corrupted reading — observed as a phantom 2.5x "speedup" on a
     38 ms workload (round-3 cs16 log). Stalls in either segment push a
     round's delta off in one direction; the median of 5 discards both
-    tails."""
+    tails.
+
+    A non-positive median is a MEASUREMENT FAILURE (noise >= workload):
+    one retry with doubled reps, then raise — never return it. Round 3
+    committed cornell_256 at -3.65 ms/sample / -71.7 Mrays/s because
+    the bench path wrote whatever this returned (VERDICT r3 weak #1)."""
     def run(n):
         t0 = time.perf_counter()
         out = None
@@ -71,16 +76,25 @@ def delta_time_dispatch(dispatch, fence, reps: int = 8,
         return time.perf_counter() - t0
 
     run(2)  # warm the dispatch pipeline
-    deltas = []
-    for _ in range(rounds):
-        t1 = run(reps)
-        t2 = run(2 * reps)
-        deltas.append((t2 - t1) / reps)
-    return float(np.median(deltas))
+    for attempt in range(2):
+        deltas = []
+        for _ in range(rounds):
+            t1 = run(reps)
+            t2 = run(2 * reps)
+            deltas.append((t2 - t1) / reps)
+        med = float(np.median(deltas))
+        if med > 0:
+            return med
+        reps *= 2  # more signal per segment drowns the jitter
+    raise RuntimeError(
+        f"non-positive delta timing (median {med*1e3:.2f} ms over "
+        f"{rounds} rounds at reps={reps}): workload too small for "
+        "cross-dispatch deltas — use device_seconds_per_call (in-graph "
+        "repetition) instead")
 
 
 def device_seconds_per_call(call, n_lo: int = 2, n_hi: int = 8,
-                            repeats: int = 3) -> float:
+                            repeats: int = 3, strict: bool = False) -> float:
     """Device seconds for ONE invocation of `call`, measured by IN-GRAPH
     repetition: jit two executables that run the call n_lo / n_hi times
     inside a single dispatch and fetch one scalar; per-call time is the
@@ -119,7 +133,15 @@ def device_seconds_per_call(call, n_lo: int = 2, n_hi: int = 8,
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return (t(g_hi) - t(g_lo)) / (n_hi - n_lo)
+    slope = (t(g_hi) - t(g_lo)) / (n_hi - n_lo)
+    if strict and slope <= 0:
+        # strict callers (the benches) must never publish an impossible
+        # number (VERDICT r3 weak #1); non-strict profiling reads a
+        # negative slope as "below dispatch noise"
+        raise RuntimeError(
+            f"non-positive in-graph slope ({slope*1e3:.3f} ms/call, "
+            f"n {n_lo}->{n_hi}): stage below dispatch noise")
+    return slope
 
 
 def _chain_bvh(m: int, leaf, k: int, c_pad: int):
@@ -480,6 +502,95 @@ def _sim_tile(tabs, o, d):
     return visited, leaf_visits
 
 
+def _replay_tabs(cluster):
+    node_min = np.asarray(cluster.node_min, np.float64)
+    node_max = np.asarray(cluster.node_max, np.float64)
+    skip = np.asarray(cluster.node_skip)
+    ncl = np.asarray(cluster.node_cluster)
+    m = cluster.n_nodes
+    skip = np.where(skip < 0, m, skip)
+    return (node_min, node_max, skip, ncl,
+            np.asarray(cluster.v0, np.float64),
+            np.asarray(cluster.e1, np.float64),
+            np.asarray(cluster.e2, np.float64),
+            np.asarray(cluster.tri_idx), m)
+
+
+def volume_efficiency(cluster, origin, direction, rates: dict | None = None,
+                      max_tiles: int = 32, tile: int | None = None) -> dict:
+    """Useful vs EXECUTED traversal work — the quantity the >=80% SoL
+    gate cannot see (VERDICT r3 missing #3: sol_pct prices executed
+    windows/leafs at calibrated rates, so a kernel that executes 5x more
+    windows than the rays need still scores 100).
+
+    - useful: per-tile UNION of BVH nodes the tile's rays actually walk
+      (exact float64 numpy replay, _sim_tile) — the minimum node count
+      ANY uniform-cursor tile kernel must process — split into interior
+      + leaf steps.
+    - executed: the kernel's own counters on the SAME sorted tiles
+      (exec_windows x UNROLL node substeps + exec_leafs leaf substeps,
+      ops/traverse_sweep.py).
+
+    vol_eff_pct prices both sides at the calibrated rates when given
+    (window_ns covers UNROLL node substeps), so it is directly the
+    fraction of kernel device time spent on work the rays required.
+    The GPU analog is SIMT warp efficiency of the reference's stack walk
+    (`/root/reference/.../BVHTraversal.cuh:14-73`).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dustraytracer_tpu.ops.traverse_sweep import (UNROLL,
+                                                      traverse_cluster_sweep)
+
+    t_sz = tile or TILE
+    o_all = np.asarray(origin, np.float32)
+    d_all = np.asarray(direction, np.float32)
+    o_all, d_all = _sorted_rays(cluster, o_all, d_all)
+    n = o_all.shape[0]
+    n_tiles = max(n // t_sz, 1)
+    stride = max(n_tiles // max_tiles, 1)
+    pick = list(range(0, n_tiles, stride))[:max_tiles]
+
+    interp = jax.default_backend() == "cpu"  # tests / sharding sim
+    r = jax.jit(lambda: traverse_cluster_sweep(
+        cluster, jnp.asarray(o_all), jnp.asarray(d_all), tile=tile,
+        interpret=interp))()
+    w_tile = np.asarray(r["exec_windows"], np.int64)
+    l_tile = np.asarray(r["exec_leafs"], np.int64)
+
+    tabs = _replay_tabs(cluster)
+    is_leaf_node = tabs[3][:tabs[8]] >= 0
+    useful_nodes = useful_leafs = 0
+    exec_subs = exec_leafs = 0
+    for t in pick:
+        o = o_all[t * t_sz:(t + 1) * t_sz].astype(np.float64)
+        d = d_all[t * t_sz:(t + 1) * t_sz].astype(np.float64)
+        visited, _lv = _sim_tile(tabs, o, d)
+        uni = visited.any(axis=0)
+        useful_nodes += int(uni.sum())
+        useful_leafs += int((uni & is_leaf_node).sum())
+        if t < w_tile.shape[0]:
+            exec_subs += int(w_tile[t]) * UNROLL
+            exec_leafs += int(l_tile[t])
+    out = {
+        "n_tiles_sampled": len(pick),
+        "useful_node_steps": useful_nodes,
+        "useful_leaf_steps": useful_leafs,
+        "exec_node_substeps": exec_subs,
+        "exec_leaf_substeps": exec_leafs,
+        "vol_eff_window_pct": 100.0 * useful_nodes / max(exec_subs, 1),
+        "vol_eff_leaf_pct": 100.0 * useful_leafs / max(exec_leafs, 1),
+    }
+    if rates is not None:
+        per_sub = rates["window_ns"] / UNROLL
+        leaf_ns = rates.get("leaf_serial_ns", rates["leaf_ns"])
+        useful_t = useful_nodes * per_sub + useful_leafs * leaf_ns
+        exec_t = exec_subs * per_sub + exec_leafs * leaf_ns
+        out["vol_eff_pct"] = 100.0 * useful_t / max(exec_t, 1e-12)
+    return out
+
+
 def walk_stats(cluster, origin, direction, max_tiles: int = 64) -> dict:
     """Exact numpy replay of the sweep traversal on the FULL sorted wave,
     simulating a uniform sample of whole 512-lane tiles (tile composition
@@ -495,18 +606,8 @@ def walk_stats(cluster, origin, direction, max_tiles: int = 64) -> dict:
     stride = max(n_tiles // max_tiles, 1)
     pick = list(range(0, n_tiles, stride))[:max_tiles]
 
-    node_min = np.asarray(cluster.node_min, np.float64)
-    node_max = np.asarray(cluster.node_max, np.float64)
-    skip = np.asarray(cluster.node_skip)
-    ncl = np.asarray(cluster.node_cluster)
-    m = cluster.n_nodes
-    skip = np.where(skip < 0, m, skip)
-    tabs = (node_min, node_max, skip, ncl,
-            np.asarray(cluster.v0, np.float64),
-            np.asarray(cluster.e1, np.float64),
-            np.asarray(cluster.e2, np.float64),
-            np.asarray(cluster.tri_idx), m)
-
+    tabs = _replay_tabs(cluster)
+    ncl, m = tabs[3], tabs[8]
     is_leaf_node = ncl[:m] >= 0  # node tables are padded past n_nodes
     tile_steps = np.zeros(len(pick), np.int64)
     tile_leaf_steps = np.zeros(len(pick), np.int64)

@@ -29,23 +29,32 @@ LABELS = {
 
 def render_table(report: dict) -> str:
     rows = ["| Config | full render fwd | fwd+bwd | traversal kernel "
-            "| speed-of-light |",
-            "|---|---|---|---|---|"]
+            "| SoL raw | volume eff |",
+            "|---|---|---|---|---|---|"]
     for c in report["configs"]:
         name = c.get("config")
         label = LABELS.get(name, name)
-        fwd = c.get("fwd_mrays_per_s")
-        bwd = c.get("fwdbwd_mrays_per_s")
-        trav = c.get("traversal_mrays_per_s")
-        sol = c.get("sol_pct")
+
+        def fmt(key, pat, bold=False):
+            v = c.get(key)
+            if v is None:
+                return "—"
+            s = pat.format(v)
+            return f"**{s}**" if bold else s
+
         rows.append(
-            f"| {label} | {fwd:.1f} Mrays/s | **{bwd:.1f} Mrays/s** | "
-            + (f"{trav:.1f} Mrays/s" if trav else "—") + " | "
-            + (f"**{sol:.0f}%**" if sol else "—") + " |")
+            f"| {label} | {fmt('fwd_mrays_per_s', '{:.1f} Mrays/s')} | "
+            f"{fmt('fwdbwd_mrays_per_s', '{:.1f} Mrays/s', bold=True)} | "
+            f"{fmt('traversal_mrays_per_s', '{:.1f} Mrays/s')} | "
+            f"{fmt('sol_raw_pct', '{:.0f}%')} | "
+            f"{fmt('vol_eff_pct', '{:.0f}%', bold=True)} |")
     rows.append("")
     rows.append(f"(device: {report.get('device')}; device seconds via "
                 "delta timing — see `bench_report.json` and "
-                "`utils/roofline.py`)")
+                "`utils/roofline.py`. SoL raw = measured kernel time vs "
+                "its chain-calibrated rate model, unclipped; volume eff "
+                "= useful vs executed traversal work, "
+                "`roofline.volume_efficiency`)")
     return "\n".join(rows)
 
 
