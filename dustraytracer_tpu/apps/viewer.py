@@ -61,6 +61,11 @@ MUTABLE_SETTINGS = (
     "smooth_shading", "tex_filter",
 )
 
+# live-mutable camera parameters (reference settings-panel parity:
+# `EditorLayer.cpp:265-268` drags vfov/focus/defocus/exposure with an
+# accumulation reset on change)
+MUTABLE_CAMERA = ("vfov_deg", "focus_dist", "defocus_angle", "exposure")
+
 
 class ViewerState:
     """Shared mutable state; everything device-side happens in run()."""
@@ -171,6 +176,19 @@ class ViewerState:
                 self.camera = rotate_camera(self.camera, float(yaw),
                                             float(pitch))
                 self.dirty = True
+            if "camera" in cmd:
+                import jax.numpy as jnp
+
+                kw = {k: jnp.float32(float(v))
+                      for k, v in cmd["camera"].items()
+                      if k in MUTABLE_CAMERA}
+                if kw:
+                    self.camera = self.camera.replace(**kw)
+                    self.dirty = True
+                    self.log(f"camera: { {k: float(v) for k, v in kw.items()} }")
+            if "speed" in cmd:
+                self.speed = float(cmd["speed"])
+                self.log(f"move speed: {self.speed:g}")
             if "set" in cmd:
                 kw = {}
                 for k, v in cmd["set"].items():
@@ -241,6 +259,11 @@ class ViewerState:
                 "camera": {
                     "position": np.asarray(self.camera.position).tolist(),
                     "vfov_deg": float(np.asarray(self.camera.vfov_deg)),
+                    "focus_dist": float(np.asarray(self.camera.focus_dist)),
+                    "defocus_angle": float(
+                        np.asarray(self.camera.defocus_angle)),
+                    "exposure": float(np.asarray(self.camera.exposure)),
+                    "speed": self.speed,
                 },
                 "console": list(self.console),
                 "saved": list(self.saved),
@@ -289,6 +312,7 @@ small { opacity:.6 }
   <h3>Settings</h3><div id="settings"></div>
   <h3>Camera <small>(click image: WASD/QE move, drag look)</small></h3>
   <table id="camera"></table>
+  <div id="camctl"></div>
   <h3>Actions</h3>
   <button onclick="api({reset:true})">Reset accumulation</button>
   <button onclick="api({save:'viewer_render.png'})">Save PNG</button>
@@ -312,8 +336,18 @@ async function refresh() {
       `${s.freq.hz_min} / ${s.freq.hz_avg} / ${s.freq.hz_max}` : '—'});
   row(document.getElementById('scene'), s.scene);
   row(document.getElementById('camera'), {
-    position: s.camera.position.map(x=>x.toFixed(2)).join(', '),
-    vfov: s.camera.vfov_deg.toFixed(1)});
+    position: s.camera.position.map(x=>x.toFixed(2)).join(', ')});
+  const ce = document.getElementById('camctl');
+  if (!ce.dataset.built) {
+    ce.dataset.built = 1;
+    const c = s.camera;
+    const cnum = (k,step)=>`<label>${k}<input type=number step=${step}
+      value="${c[k]}" onchange='api({camera:{${k}:+this.value}})'></label>`;
+    ce.innerHTML = cnum('vfov_deg',1)+cnum('focus_dist',0.1)
+      +cnum('defocus_angle',0.1)+cnum('exposure',0.1)
+      +`<label>move speed<input type=number step=0.01 value="${c.speed}"
+        onchange='api({speed:+this.value})'></label>`;
+  }
   const el = document.getElementById('settings');
   if (!el.dataset.built) {
     el.dataset.built = 1;

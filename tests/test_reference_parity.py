@@ -76,7 +76,8 @@ def _psnr(a, b, peak=1.0):
 
 @pytest.mark.parametrize("name", ["cornell_box", "suzanne_plane",
                                   "mc_transparency", "suzanne_smooth",
-                                  "glass_panes", "cs16_dust"])
+                                  "glass_panes", "cs16_dust",
+                                  "suzanne_dof"])
 def test_exact_golden(name):
     """Per-pixel regeneration of the committed golden."""
     golden, meta = _load_golden(f"{name}_exact")

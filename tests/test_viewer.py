@@ -85,6 +85,32 @@ def test_viewer_api_roundtrip(tri_scene):
         w_px, h_px = struct.unpack(">II", png[16:24])
         assert (w_px, h_px) == (48, 32)
 
+        # camera-parameter mutation (EditorLayer.cpp:265-268 parity):
+        # vfov/focus/defocus/exposure apply with an accumulation reset
+        post("/api", {"camera": {"vfov_deg": 35.0, "focus_dist": 4.5,
+                                 "defocus_angle": 2.0, "exposure": 1.5,
+                                 "position": [9, 9, 9]}})  # ignored key
+        post("/api", {"speed": 0.33})
+        time.sleep(0.5)
+        body, _ = get("/state")
+        s4 = json.loads(body)
+        assert s4["camera"]["vfov_deg"] == pytest.approx(35.0)
+        assert s4["camera"]["focus_dist"] == pytest.approx(4.5)
+        assert s4["camera"]["defocus_angle"] == pytest.approx(2.0)
+        assert s4["camera"]["exposure"] == pytest.approx(1.5)
+        assert s4["camera"]["speed"] == pytest.approx(0.33)
+        # position is NOT settable through the camera dict (fly controls
+        # own it) — the bogus key must be dropped, not crash
+        assert s4["camera"]["position"] != [9, 9, 9]
+        # ... and the accumulation restarted after the change
+        for _ in range(100):
+            body, _ = get("/state")
+            s5 = json.loads(body)
+            if s5["samples"] >= 1:
+                break
+            time.sleep(0.3)
+        assert s5["samples"] >= 1
+
         # index page serves the UI
         idx, ctype = get("/")
         assert b"dustraytracer" in idx.lower() or b"viewport" in idx.lower()
