@@ -22,7 +22,11 @@ we deviate:
 Differentiability: traversal returns discrete hit ids (stop-gradient);
 every continuous quantity (hit point, barycentrics, normals, radiance) is
 recomputed from those ids with differentiable math, so `jax.grad` flows
-to materials, lights, camera, and vertex positions.
+to materials, lights, camera, and vertex positions. The traversal
+kernels run INLINE in the bounce scan as opaque custom_vjp selectors on
+stop-gradient inputs — reverse-mode AD saves their outputs as residuals
+and transposes only the shading math (one traversal + one shading pass
+per sample, fwd or fwd+bwd).
 """
 
 from __future__ import annotations
@@ -628,48 +632,51 @@ def _make_tracers(scene, settings: RenderSettings):
         # (each re-trace round re-sorts, which only helps)
         closest, anyhit = _alpha_retrace_tracers(
             scene, closest, rounds=settings.alpha_rounds)
-    return closest, anyhit
+
+    # Tracers run INSIDE the differentiable bounce scan (round 4: the
+    # separate trace/shade phases are gone — see render_pixels), so cut
+    # input tangents at this boundary: every backend is a stop-gradient
+    # discrete selector, but the gather/brute walks and the alpha
+    # re-trace use lax.while_loop, which has no JVP — a live tangent on
+    # origin would make linearization throw (and the sweep kernel's inf
+    # sentinels would 0*inf-poison tangents that did flow).
+    def _sg_in(f):
+        def g(o, d):
+            return f(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d))
+        return g
+
+    return _sg_in(closest), _sg_in(anyhit)
 
 
 def _segment(scene, lights, settings: RenderSettings, tracers, carry,
-             bounce_idx, traced):
-    """One path segment for all rays (the body of both scan phases).
+             bounce_idx):
+    """One path segment for all rays (the bounce-scan body).
 
-    traced=None  -> TRACE phase: run the traversal kernels, emit the
-                    discrete decisions (hit ids, occlusion, RR survival)
-                    as scan outputs. Runs on stop-gradient inputs, so AD
-                    never sees the kernels.
-    traced=dict  -> SHADE phase: replay the recorded decisions and do
-                    only differentiable math. This is the graph that gets
-                    transposed in backward — no traversal inside, so
-                    fwd+bwd pays for traversal exactly once.
-
-    Both phases draw the identical RNG stream, so replayed geometry is
-    bit-identical to the traced one.
+    Single-phase (round 4): the traversal kernels run inline. They are
+    opaque custom_vjp discrete selectors fed stop-gradient inputs
+    (_make_tracers), so under reverse-mode AD their outputs become scan
+    residuals — the transpose covers only the differentiable shading
+    math around them, and traversal+shading each run exactly once per
+    sample (the old trace-then-replay split computed the full shading
+    chain twice).
     """
     origin, direction, throughput, light, alive, rng = carry
-    tracing = traced is None
     fetch = _resolve_fetch(scene, settings)
     sun_pos = lights.sun_position()
     sun_col = lights.sun_color * lights.sun_intensity
 
     kernel_mode = fetch == "kernel"
-    if tracing:
-        trace_closest, trace_anyhit = tracers
-        # park DEAD lanes far outside the scene so their walks terminate
-        # at the root test (~1 node step). Their results are ignored
-        # downstream (masked by `alive`), and the ray sort clusters the
-        # parked origins into tiles that finish instantly — without this,
-        # terminated paths keep paying full traversal every bounce.
-        o_live = jnp.where(alive[:, None], origin, 3.0e37)
-        res = trace_closest(o_live, direction)
-        hit_idx = jnp.where(alive, res["hit_idx"], -1)
-        krec = {k: res[k] for k in ("t", "u", "v", "uv", "face_nrm",
-                                    "mat")} if kernel_mode else None
-    else:
-        hit_idx = traced["hit_idx"]
-        krec = {k: traced[k] for k in ("t", "u", "v", "uv", "face_nrm",
-                                       "mat")} if kernel_mode else None
+    trace_closest, trace_anyhit = tracers
+    # park DEAD lanes far outside the scene so their walks terminate
+    # at the root test (~1 node step). Their results are ignored
+    # downstream (masked by `alive`), and the ray sort clusters the
+    # parked origins into tiles that finish instantly — without this,
+    # terminated paths keep paying full traversal every bounce.
+    o_live = jnp.where(alive[:, None], origin, 3.0e37)
+    res = trace_closest(o_live, direction)
+    hit_idx = jnp.where(alive, res["hit_idx"], -1)
+    krec = {k: res[k] for k in ("t", "u", "v", "uv", "face_nrm",
+                                "mat")} if kernel_mode else None
 
     # --- soft-edge visibility (boundary-term gradients) ---
     # Near a triangle edge the hard hit/miss decision hides the visibility
@@ -689,33 +696,28 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
     kept = jnp.ones_like(alive)
     cont_miss = jnp.zeros_like(alive)
     if settings.soft_edges > 0.0:
-        rng, u_edge = random_float(rng)  # drawn in BOTH phases (sync)
-        if tracing:
-            edge_idx = hit_idx
-            sh0 = shade_hits(scene, origin, direction, edge_idx, fetch)
-            b0 = _bary_min(sh0["bary"])
-            sigma_sg = jax.lax.stop_gradient(
-                1.0 - jnp.exp(-jnp.clip(b0, 0.0, 1.0)
-                              / settings.soft_edges))
-            hit0 = edge_idx >= 0
-            # continuation just past the hit for ALL hit lanes (same walk
-            # as the alpha re-trace); epsilon trade-off documented there
-            adv = jnp.where(alive & hit0,
-                            res["t"] * (1.0 + 1e-4) + 1e-4, 0.0)
-            # lanes with no hit need no continuation: park them far out
-            # so the re-trace costs ~1 node step
-            o2 = jnp.where((alive & hit0)[:, None],
-                           o_live + direction * adv[:, None], 3.0e37)
-            res2 = trace_closest(o2, direction)
-            cont_miss = alive & hit0 & (res2["hit_idx"] < 0)
-            pass_th = (alive & hit0 & ~cont_miss
-                       & (u_edge >= sigma_sg))
-            hit_idx = jnp.where(pass_th, res2["hit_idx"], edge_idx)
-            kept = ~pass_th
-        else:
-            edge_idx = traced["edge_idx"]
-            kept = traced["kept"]
-            cont_miss = traced["cont_miss"]
+        rng, u_edge = random_float(rng)
+        edge_idx = hit_idx
+        sh0 = shade_hits(scene, origin, direction, edge_idx, fetch)
+        b0 = _bary_min(sh0["bary"])
+        sigma_sg = jax.lax.stop_gradient(
+            1.0 - jnp.exp(-jnp.clip(b0, 0.0, 1.0)
+                          / settings.soft_edges))
+        hit0 = edge_idx >= 0
+        # continuation just past the hit for ALL hit lanes (same walk
+        # as the alpha re-trace); epsilon trade-off documented there
+        adv = jnp.where(alive & hit0,
+                        res["t"] * (1.0 + 1e-4) + 1e-4, 0.0)
+        # lanes with no hit need no continuation: park them far out
+        # so the re-trace costs ~1 node step
+        o2 = jnp.where((alive & hit0)[:, None],
+                       o_live + direction * adv[:, None], 3.0e37)
+        res2 = trace_closest(o2, direction)
+        cont_miss = alive & hit0 & (res2["hit_idx"] < 0)
+        pass_th = (alive & hit0 & ~cont_miss
+                   & (u_edge >= sigma_sg))
+        hit_idx = jnp.where(pass_th, res2["hit_idx"], edge_idx)
+        kept = ~pass_th
     miss = hit_idx < 0
     live_hit = alive & ~miss
 
@@ -777,12 +779,9 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
     if settings.enable_sunlight:
         rng, jit_vec = random_unit_vec3(rng)
         shadow_dir = sun_pos[None, :] + jit_vec * 1.5
-        if tracing:
-            # shadow rays only matter for live hits; park the rest
-            nee_o = jnp.where(live_hit[:, None], new_origin, 3.0e37)
-            occluded = trace_anyhit(nee_o, shadow_dir)
-        else:
-            occluded = traced["occluded"]
+        # shadow rays only matter for live hits; park the rest
+        nee_o = jnp.where(live_hit[:, None], new_origin, 3.0e37)
+        occluded = trace_anyhit(nee_o, shadow_dir)
         contrib = sun_col[None, :] * throughput
         if settings.shading == "pbr":
             # A dielectric lane transmits with P = transmission, so only
@@ -810,10 +809,7 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
         rng, u_rr = random_float(rng)
         p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
         do_rr = bounce_idx >= settings.rr_start_bounce
-        if tracing:
-            survive = ~do_rr | (u_rr < jax.lax.stop_gradient(p))
-        else:
-            survive = traced["survive"]
+        survive = ~do_rr | (u_rr < jax.lax.stop_gradient(p))
         scale = jnp.where(do_rr & survive, 1.0 / p, 1.0)
         throughput = throughput * scale[:, None]
         alive = live_hit & survive
@@ -912,15 +908,7 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
                                 w / jax.lax.stop_gradient(w), 1.0)
         throughput = throughput * glass_ratio[:, None]
 
-    new_carry = (new_origin, bounce_dir, throughput, light, alive, rng)
-    ys = {"hit_idx": hit_idx, "occluded": occluded, "survive": survive}
-    if kernel_mode:
-        ys.update(krec)
-    if settings.soft_edges > 0.0:
-        ys["edge_idx"] = edge_idx
-        ys["kept"] = kept
-        ys["cont_miss"] = cont_miss
-    return new_carry, ys
+    return (new_origin, bounce_dir, throughput, light, alive, rng), None
 
 
 def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
@@ -932,8 +920,8 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
     tiles and each device runs this same function on its shard (see
     parallel/). `render_sample` below is the full-frame convenience.
 
-    Non-debug rendering runs in two scanned phases (see _segment): trace
-    (discrete, kernels, stop-grad) then shade (differentiable replay).
+    Non-debug rendering is ONE differentiable bounce scan with the
+    traversal kernels inline (see _segment).
     """
     n = pixel_ids.shape[0]
     # normalize the fetch mode ONCE so the tracer construction
@@ -1000,32 +988,26 @@ def render_pixels(scene, camera: Camera, lights: LightParams, frame_idx,
     else:
         bounce_ids = jnp.arange(settings.bounces, dtype=jnp.int32)
 
-        # --- phase 1: trace, on stop-gradient inputs. Its useful outputs
-        # are int/bool decisions, but without cutting the INPUT tangents
-        # the linearized trace scan still pushes tangents through the
-        # traversal loops, whose inf sentinels turn them into NaNs
-        # (0-tangent * inf). stop_gradient up front keeps AD out entirely.
-        sg = jax.lax.stop_gradient
-        scene_sg = sg(scene)
-        camera_sg = sg(camera)
-        lights_sg = sg(lights)
-        tracers = _make_tracers(scene_sg, settings)
+        # --- single differentiable scan (round 4). The kernels sit
+        # INLINE: every traversal backend is an opaque custom_vjp
+        # discrete selector with stop-gradient inputs (_make_tracers),
+        # so reverse-mode AD saves their outputs as scan residuals and
+        # transposes only the shading math around them. The previous
+        # trace-then-replay design ran the full shading chain TWICE per
+        # sample (the trace phase needs throughput/normals/RNG to
+        # advance rays; the shade phase recomputed all of it for AD) —
+        # measured 49 ms/sample on suzanne 512 b4 where traversal +
+        # one shading pass account for ~30 ms. One phase computes the
+        # primal once; fwd+bwd pays traversal once and shading's
+        # linearization once, and the executable halves (compile-time
+        # item, docs/COMPILE_TIME.md).
+        tracers = _make_tracers(jax.lax.stop_gradient(scene), settings)
 
-        def trace_body(carry, bounce_idx):
-            return _segment(scene_sg, lights_sg, settings, tracers, carry,
-                            bounce_idx, None)
+        def body(carry, bounce_idx):
+            return _segment(scene, lights, settings, tracers, carry,
+                            bounce_idx)
 
-        _, traced = jax.lax.scan(trace_body, start_rays(camera_sg),
-                                 bounce_ids)
-
-        # --- phase 2: shade (differentiable replay of the decisions)
-        def shade_body(carry, x):
-            bounce_idx, rec = x
-            return _segment(scene, lights, settings, None, carry,
-                            bounce_idx, rec)
-
-        carry, _ = jax.lax.scan(shade_body, start_rays(camera),
-                                (bounce_ids, traced))
+        carry, _ = jax.lax.scan(body, start_rays(camera), bounce_ids)
         color = carry[3]
         post = True
 

@@ -46,10 +46,15 @@ def test_config4_room_pbr_materials(tmp_path, capsys):
 @pytest.mark.slow
 def test_config5_katana_vertex_grads_sharded(tmp_path, capsys):
     """valorant_katana.glb (90,726 tris): vertex gradients through the
-    gather traversal + soft-edge silhouettes, tile-sharded over the
-    8-device mesh. The gate is a real loss decrease — global vertex MAE
-    is not meaningful when only visible triangles receive gradients
-    (results/BASELINE_CONFIGS.md)."""
+    cluster traversal, tile-sharded over the 8-device mesh. The gate is
+    a real loss decrease — global vertex MAE is not meaningful when only
+    visible triangles receive gradients (results/BASELINE_CONFIGS.md).
+
+    Default-suite budget (VERDICT r3 item 8: this test alone took 735 s,
+    half the suite): a few steps at 24x24 gate that descent HAPPENS;
+    DUST_HEAVY=1 restores the recorded 16-step 32x32 configuration with
+    the strong 15%-decrease gate.
+    """
     scene = os.path.join(MODELS, "valorant_katana.glb")
     if not os.path.exists(scene):
         pytest.skip("valorant_katana.glb not bundled")
@@ -57,15 +62,17 @@ def test_config5_katana_vertex_grads_sharded(tmp_path, capsys):
 
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device CPU mesh (conftest)")
+    heavy = os.environ.get("DUST_HEAVY") == "1"
+    size, steps = ("32x32", 16) if heavy else ("24x24", 5)
     _run_optimize(["--scene", scene, "--self-test",
                    "--optimize", "vertices", "--perturb-vertices", "0.03",
-                   "--nee-cosine", "--size", "32x32", "--bounces", "2",
-                   "--steps", "16", "--lr", "3e-3", "--devices", "8",
+                   "--nee-cosine", "--size", size, "--bounces", "2",
+                   "--steps", str(steps), "--lr", "3e-3", "--devices", "8",
                    "--out", str(tmp_path)])
     out = json.loads(capsys.readouterr().out)
     first, last = out["history"][0]["loss"], out["final_loss"]
     assert np.isfinite(last)
-    assert last < 0.85 * first, (first, last)
+    assert last < (0.85 if heavy else 0.97) * first, (first, last)
 
 
 @pytest.mark.slow
