@@ -447,13 +447,19 @@ def _sorted_rays(cluster, origin, direction):
 
 def _sim_tile(tabs, o, d):
     """Numpy replay of the sweep walk for ONE tile of rays. Returns
-    (visited (T, m) bool, leaf_visits (T,))."""
+    (visited (T, m) bool, entered (T, m) bool, leaf_visits (T,)).
+
+    visited = the cursor parked a lane at the node (the node occupies a
+    window substep); entered = the lane actually passed the slab+t test
+    there (a leaf ENTERED is what triggers the kernel's matvec — the
+    distinction matters for leaf volume efficiency)."""
     node_min, node_max, skip, ncl, v0, e1, e2, tri_idx, m = tabs
     n = o.shape[0]
     inv_d = 1.0 / d
     node = np.zeros(n, np.int64)
     hit_t = np.full(n, 3.4e38)
     visited = np.zeros((n, m), bool)
+    entered_m = np.zeros((n, m), bool)
     leaf_visits = np.zeros(n, np.int64)
 
     while True:
@@ -472,6 +478,7 @@ def _sim_tile(tabs, o, d):
         t_enter = np.maximum(tlo, 0.0)
         box_hit = (t_enter <= thi) & (thi >= 0.0)
         enter = active & box_hit & (t_enter < hit_t)
+        entered_m[enter, nd[enter]] = True
         is_leaf = ncl[nd] >= 0
 
         # leaf: intersect the cluster's K triangles (for distance culling)
@@ -499,7 +506,7 @@ def _sim_tile(tabs, o, d):
 
         nxt = np.where(enter & ~is_leaf, nd + 1, skip[nd])
         node = np.where(active, nxt, node)
-    return visited, leaf_visits
+    return visited, entered_m, leaf_visits
 
 
 def _replay_tabs(cluster):
@@ -566,10 +573,13 @@ def volume_efficiency(cluster, origin, direction, rates: dict | None = None,
     for t in pick:
         o = o_all[t * t_sz:(t + 1) * t_sz].astype(np.float64)
         d = d_all[t * t_sz:(t + 1) * t_sz].astype(np.float64)
-        visited, _lv = _sim_tile(tabs, o, d)
+        visited, entered, _lv = _sim_tile(tabs, o, d)
         uni = visited.any(axis=0)
         useful_nodes += int(uni.sum())
-        useful_leafs += int((uni & is_leaf_node).sum())
+        # the kernel's leaf matvec fires only where some lane ENTERED
+        # the leaf box — a lane merely parked at a leaf costs a window
+        # substep, not a leaf substep
+        useful_leafs += int((entered.any(axis=0) & is_leaf_node).sum())
         if t < w_tile.shape[0]:
             exec_subs += int(w_tile[t]) * UNROLL
             exec_leafs += int(l_tile[t])
@@ -617,7 +627,7 @@ def walk_stats(cluster, origin, direction, max_tiles: int = 64) -> dict:
     for j, t in enumerate(pick):
         o = o_all[t * TILE:(t + 1) * TILE].astype(np.float64)
         d = d_all[t * TILE:(t + 1) * TILE].astype(np.float64)
-        visited, leaf_visits = _sim_tile(tabs, o, d)
+        visited, _entered, leaf_visits = _sim_tile(tabs, o, d)
         uni = visited.any(axis=0)
         tile_steps[j] = int(uni.sum())
         tile_leaf_steps[j] = int((uni & is_leaf_node).sum())

@@ -165,6 +165,30 @@ def main():
         except Exception as e:
             print(f"full fwd (fetch={m}) skipped: {e}", flush=True)
 
+    # --- bounce scaling: marginal cost of one more path segment (the
+    # incoherent bounce waves the isolated primary-wave stages miss) ---
+    for b in sorted({1, max(1, bounces // 2)}):
+        s_b = settings.replace(bounces=b)
+        b_j = jax.jit(lambda frame, s_b=s_b: jnp.sum(render_sample(
+            scene, camera, lights, frame, width=W, height=H,
+            settings=s_b)))
+
+        def bdisp(b_j=b_j):
+            box[0] += 1
+            return b_j(jnp.uint32(box[0]))
+
+        stage_delta(f"full fwd b={b}", bdisp, float)
+
+    s_ns = settings.replace(ray_sort="off")
+    ns2_j = jax.jit(lambda frame: jnp.sum(render_sample(
+        scene, camera, lights, frame, width=W, height=H, settings=s_ns)))
+
+    def ns2disp():
+        box[0] += 1
+        return ns2_j(jnp.uint32(box[0]))
+
+    stage_delta("full fwd sort=off", ns2disp, float)
+
     # --- full fwd+bwd: the bench.py gradient workload ---
     def mat_loss(albedo, emissive, li, frame):
         sc = scene.replace(mat_albedo=albedo, mat_emissive=emissive)
@@ -267,6 +291,22 @@ def main():
 
     res = jax.jit(lambda: traverse_cluster_sweep(scene.cluster, o, d))()
     hit = res["hit_idx"]
+
+    # --- incoherent (bounce-1-like) wave: origins at the primary hit
+    # points, directions uniform random — what segments 2..B actually
+    # pay per trace ---
+    hit_ok = hit >= 0
+    o_b = jnp.where(hit_ok[:, None],
+                    o + d * (res["t"] * 0.999)[:, None], 3.0e37)
+    dn = np.random.default_rng(5).normal(size=(n, 3)).astype(np.float32)
+    d_b = jnp.asarray(dn / np.linalg.norm(dn, axis=-1, keepdims=True))
+    key_b = ray_sort_key(scene.node_min[0], scene.node_max[0], o_b, d_b)
+    pb = jnp.argsort(key_b)
+    ob_s, db_s = o_b[pb], d_b[pb]
+    stage("traversal closest (bounce)", lambda i: jnp.sum(
+        traverse_cluster_sweep(scene.cluster,
+                               ob_s + jnp.float32(i) * 1e-6,
+                               db_s)["t"]), n_hi=8)
 
     def sh_sum(sc, oo):
         return sum(jnp.sum(v.astype(jnp.float32))

@@ -47,6 +47,8 @@ def main():
     p.add_argument("--unrolls", default="4,8")
     p.add_argument("--ks", default="")
     p.add_argument("--size", type=int, default=512)
+    p.add_argument("--wave", default="primary",
+                   choices=["primary", "bounce"])
     args = p.parse_args()
 
     import jax
@@ -68,6 +70,22 @@ def main():
         ids = jnp.arange(n, dtype=jnp.int32)
         rng = seed_pixels(ids.astype(jnp.uint32), jnp.uint32(0))
         _r, o, d = generate_rays(cam, size, size, rng, pixel_ids=ids)
+        if args.wave == "bounce":
+            # bounce-1-like wave: origins at primary hit points, random
+            # unit directions — the expensive incoherent case real
+            # frames pay for segments 2..B (parked lanes for misses,
+            # like the integrator's dead-lane parking)
+            from dustraytracer_tpu.ops.traverse_sweep import (
+                traverse_cluster_sweep)
+            r0 = jax.jit(lambda: traverse_cluster_sweep(
+                scene.cluster, o, d))()
+            hit_ok = r0["hit_idx"] >= 0
+            o = jnp.where(hit_ok[:, None],
+                          o + d * (r0["t"] * 0.999)[:, None], 3.0e37)
+            dn = np.random.default_rng(5).normal(
+                size=(n, 3)).astype(np.float32)
+            d = jnp.asarray(dn / np.linalg.norm(dn, axis=-1,
+                                                keepdims=True))
         key = ray_sort_key(scene.node_min[0], scene.node_max[0], o, d)
         perm = jnp.argsort(key)
         o, d = o[perm], d[perm]
