@@ -60,9 +60,16 @@ def _sample_alpha(scene, tex_idx, uv):
     fv = uv[..., 1] - jnp.floor(uv[..., 1])
     x = jnp.clip((fu * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((fv * h).astype(jnp.int32), 0, h - 1)
-    a = scene.tex_stack[safe_tex, y, x, 3].astype(jnp.float32)
     if scene.tex_stack.dtype == jnp.uint8:
-        a = a / 255.0
+        # flat u32 texel gather + byte unpack (render/texture.py
+        # packed_texels): 4.4x the 4-D byte-slice gather on v5e
+        from dustraytracer_tpu.render.texture import packed_texels
+
+        hs, ws = scene.tex_stack.shape[1], scene.tex_stack.shape[2]
+        word = packed_texels(scene)[(safe_tex * hs + y) * ws + x]
+        a = ((word >> 24) & 0xFF).astype(jnp.float32) / 255.0
+    else:
+        a = scene.tex_stack[safe_tex, y, x, 3].astype(jnp.float32)
     opaque = (tex_idx < 0) | ~scene.tex_has_alpha[safe_tex]
     return jnp.where(opaque, 1.0, a)
 

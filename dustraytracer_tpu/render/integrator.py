@@ -92,22 +92,14 @@ def _resolve_fetch(scene, settings) -> str:
     if jax.default_backend() == "cpu":
         return "gather"
     n = scene.tri_pos.shape[0]
-    # dense mid-size scenes: the wavefront one-hot fetch pays O(rays x n)
-    # per shade site while the in-kernel fetch only doubles the (cheap)
-    # leaf matvec — measured crossover on v5e: dense_monkey (15.7k tris)
-    # fwd 12.4 -> 16.7 Mrays/s, cs16 (11.2k) 10.9 -> 11.4, while suzanne
-    # (970) prefers one-hot and katana (90.7k, huge cluster table) loses
-    # 2x with doubled leaves (bench_report.json r3 *_kernelfetch_*).
-    # Gradient-safe since round 4 (_kernel_shade custom VJP), so auto
-    # may pick it for differentiated renders too.
-    if (8192 <= n <= 16384
-            and scene.cluster is not None and scene.cluster.uv is not None
-            and not (settings.smooth_shading or settings.soft_edges > 0.0
-                     or settings.alpha_test)
-            and settings.traversal in ("auto", "sweep")
-            and scene.cluster.n_clusters * scene.cluster.k
-            > settings.brute_max_tris):
-        return "kernel"
+    # Round-4 re-measurement killed the r3 auto 'kernel' pick for
+    # 8192-16384-tri scenes: with trustworthy timing (the r3 crossover
+    # numbers came from delta measurements later shown to carry a
+    # phantom 2.5x, utils/roofline.py) the in-kernel fetch is SLOWER on
+    # its supposed best case (cs16 fwd 93.7 ms kernel vs 87.0 onehot,
+    # results/profile_cs16_dust_512_b2.json) and 2x slower on katana.
+    # 'kernel' remains an explicit, now gradient-safe opt-in
+    # (_kernel_shade); auto picks the wavefront fetches only.
     return "onehot" if n <= 16384 else "gather"
 
 

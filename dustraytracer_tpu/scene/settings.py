@@ -90,8 +90,7 @@ class RenderSettings:
     #   attributes. onehot = one fused one-hot matmul per table (MXU;
     #   TPU has no hardware gather so this is ~6x faster at
     #   bundled-scene sizes), gather = native table[idx], auto = onehot
-    #   on TPU up to 16k tris (or kernel for dense mid-size scenes —
-    #   see render/integrator.py _resolve_fetch). kernel = the sweep
+    #   on TPU up to 16k tris, gather beyond. kernel = the sweep
     #   traversal kernel emits the winning hit's u/v/uv/normal/material
     #   itself (in-kernel shading, like the reference megakernel
     #   RayGen.cuh:110-118) — O(leafs visited) instead of

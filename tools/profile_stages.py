@@ -45,6 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
@@ -178,6 +179,24 @@ def main():
             return b_j(jnp.uint32(box[0]))
 
         stage_delta(f"full fwd b={b}", bdisp, float)
+
+    # per-fetch-mode single-segment frames: the in-situ cost of the
+    # shading fetch (isolated micro-stages showed ~0 for the one-hot
+    # fetch, but in-graph fusion may differ inside the scan)
+    for fm in ("onehot", "gather", "kernel"):
+        try:
+            s_f = settings.replace(bounces=1, shade_fetch=fm)
+            f_j = jax.jit(lambda frame, s_f=s_f: jnp.sum(render_sample(
+                scene, camera, lights, frame, width=W, height=H,
+                settings=s_f)))
+
+            def fdisp2(f_j=f_j):
+                box[0] += 1
+                return f_j(jnp.uint32(box[0]))
+
+            stage_delta(f"full fwd b=1 fetch={fm}", fdisp2, float)
+        except Exception as e:
+            print(f"full fwd b=1 fetch={fm} skipped: {e}", flush=True)
 
     s_ns = settings.replace(ray_sort="off")
     ns2_j = jax.jit(lambda frame: jnp.sum(render_sample(
