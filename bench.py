@@ -87,6 +87,32 @@ def main():
                        jnp.uint32(frame_box[0]))
 
     compile_t0 = time.perf_counter()
+    # Warm the two Mosaic kernel variants CONCURRENTLY before the big
+    # executable lowers. Cold, each sweep-kernel Mosaic compile takes
+    # ~90 s through the axon remote-compile tunnel and they serialize
+    # inside jaxpr->MLIR lowering (measured 184 s of the r4 cold
+    # compile_s, results/bench_r4_try3.log + docs/COMPILE_TIME.md);
+    # overlapping them halves that. Runs INSIDE the timed window, so
+    # compile_s stays the honest time-to-first-gradient.
+    try:
+        import concurrent.futures as cf
+
+        from dustraytracer_tpu.ops.traverse_sweep import (
+            traverse_cluster_sweep)
+
+        n_warm = WIDTH * HEIGHT
+        ow = jnp.zeros((n_warm, 3), jnp.float32)
+        dw = jnp.ones((n_warm, 3), jnp.float32)
+
+        def _warm(anyhit):
+            jax.jit(lambda: traverse_cluster_sweep(
+                scene.cluster, ow, dw, anyhit=anyhit)).lower().compile()
+
+        with cf.ThreadPoolExecutor(2) as ex:
+            list(ex.map(_warm, [False, True]))
+        warm_s = time.perf_counter() - compile_t0
+    except Exception:
+        warm_s = None
     out = dispatch()
     float(out[0])  # host fetch = the only reliable fence (axon tunnel)
     compile_s = time.perf_counter() - compile_t0
@@ -114,6 +140,9 @@ def main():
         "ms_per_sample_dispatched": round(dt_disp * 1e3, 2),
         "compile_s": round(compile_s, 1),
     }
+    if warm_s is not None:
+        # of which: concurrent Mosaic-kernel warm-up (docs/COMPILE_TIME.md)
+        result["compile_warm_kernels_s"] = round(warm_s, 1)
 
     # --- traversal kernel in isolation + speed-of-light (BASELINE.json:5)
     try:

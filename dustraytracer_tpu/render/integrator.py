@@ -482,8 +482,8 @@ def _sorted_tracers(scene, closest, anyhit):
     ~35% of dense-scene frame time.
 
     Traversal results are stop-gradiented discrete decisions and the
-    trace phase runs on stop-gradient inputs, so no sort needs a
-    gradient path.
+    tracer inputs are stop-gradient at the _make_tracers boundary, so
+    no sort needs a gradient path.
     """
     lo = scene.node_min[0]
     hi = scene.node_max[0]
@@ -680,7 +680,7 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
     #    round-1 behavior, which sky-backed recovery tests showed converges
     #    exactly.
     #  * geometry-backed (continuation hits): stochastic keep/pass-through
-    #    branch with probability sigma, reweighted in the shade phase by
+    #    branch with probability sigma, reweighted by
     #    w/stop_grad(w) — value unchanged, gradient the exact single-sample
     #    estimator of d(sigma*L_hit + (1-sigma)*L_behind). This is the
     #    term the round-1 version lacked (it blended only toward the sky).
@@ -820,8 +820,7 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
         # stochastic lobe choice: P(metal) = metallic; specular direction
         # is the mirror reflection fuzzed by roughness (differentiable in
         # roughness and geometry; the lobe CHOICE is discrete and
-        # identical across trace/shade phases since both see the same
-        # params and RNG stream)
+        # reweighted below so AD sees its probability)
         rng, u_lobe = random_float(rng)
         metallic = matd["metallic"]
         roughness = matd["roughness"]
@@ -849,9 +848,8 @@ def _segment(scene, lights, settings: RenderSettings, tracers, carry,
         # "does not support glass material"). We do: a dielectric lane
         # (not metal) transmits with P = transmission; a transmitting lane
         # refracts by Snell or mirror-reflects on total internal
-        # reflection / a Schlick-Fresnel coin. Both discrete choices are
-        # drawn identically in the trace and shade phases (same RNG
-        # stream) and reweighted by w/stop_grad(w), so gradients flow to
+        # reflection / a Schlick-Fresnel coin. Both discrete choices
+        # are reweighted by w/stop_grad(w), so gradients flow to
         # `transmission` (choice probability) and to `ior` (through the
         # refracted direction and Fresnel weight). Tint = albedo (already
         # multiplied into throughput above): colored glass.

@@ -65,3 +65,39 @@ def test_delta_time_dispatch_raises_on_nonpositive(monkeypatch):
     with pytest.raises(RuntimeError, match="non-positive delta"):
         roofline.delta_time_dispatch(lambda: None, lambda _o: None,
                                      reps=2, rounds=3)
+
+
+def test_packed_texel_fetch_matches_reference_semantics():
+    """The flat-u32 texel gather (render/texture.py packed_texels) must
+    reproduce the reference's point-sample + gamma-2 decode exactly
+    (`Texture.cu:33-58`) — byte order and index math included."""
+    import dataclasses
+
+    from dustraytracer_tpu.render.texture import sample_texture
+    from dustraytracer_tpu.scene.scene import build_scene
+    from tests.util_scenes import make_random_tri_doc
+
+    rng = np.random.default_rng(3)
+    scene = build_scene(make_random_tri_doc(10, seed=1), use_native=False)
+    stack = rng.integers(0, 255, (3, 8, 16, 4), dtype=np.uint8)
+    hw = np.array([[8, 16], [5, 7], [8, 16]], np.int32)  # ragged dims
+    scene = dataclasses.replace(
+        scene, tex_stack=jnp.asarray(stack), tex_hw=jnp.asarray(hw))
+
+    n = 257
+    tex = rng.integers(0, 3, (n,)).astype(np.int32)
+    uv = rng.uniform(-1.5, 2.5, (n, 2)).astype(np.float32)  # wraps
+    got = np.asarray(sample_texture(scene, jnp.asarray(tex),
+                                    jnp.asarray(uv)))
+
+    # numpy reference: wrap, scale by the texture's TRUE dims, clip,
+    # point sample, /255, square
+    fu = uv[:, 0] - np.floor(uv[:, 0])
+    fv = uv[:, 1] - np.floor(uv[:, 1])
+    h = hw[tex, 0].astype(np.float32)
+    w = hw[tex, 1].astype(np.float32)
+    xi = np.clip((fu * w).astype(np.int32), 0, hw[tex, 1] - 1)
+    yi = np.clip((fv * h).astype(np.int32), 0, hw[tex, 0] - 1)
+    ref = stack[tex, yi, xi, :3].astype(np.float32) / 255.0
+    ref = ref * ref
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
