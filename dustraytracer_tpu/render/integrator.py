@@ -235,13 +235,20 @@ def _fetch_material(scene, mats, fetch: str):
                 "metallic": rows[:, 6], "roughness": rows[:, 7],
                 "tex": rows[:, 8].astype(jnp.int32),
                 "transmission": rows[:, 9], "ior": rows[:, 10]}
-    return {"albedo": scene.mat_albedo[mats],
-            "emissive": scene.mat_emissive[mats],
-            "metallic": scene.mat_metallic[mats],
-            "roughness": scene.mat_roughness[mats],
-            "tex": scene.mat_albedo_tex[mats],
-            "transmission": scene.mat_transmission[mats],
-            "ior": scene.mat_ior[mats]}
+    # ONE packed row gather instead of 7 channel gathers: per-lane
+    # gathers price per GATHER OP, not per byte (same lesson as the
+    # packed-texel fetch, tools/bench_texture_fetch.py)
+    tab = jnp.concatenate(
+        [scene.mat_albedo, scene.mat_emissive,
+         scene.mat_metallic[:, None], scene.mat_roughness[:, None],
+         scene.mat_albedo_tex.astype(jnp.float32)[:, None],
+         scene.mat_transmission[:, None], scene.mat_ior[:, None]],
+        axis=1)
+    rows = tab[mats]
+    return {"albedo": rows[:, 0:3], "emissive": rows[:, 3:6],
+            "metallic": rows[:, 6], "roughness": rows[:, 7],
+            "tex": rows[:, 8].astype(jnp.int32),
+            "transmission": rows[:, 9], "ior": rows[:, 10]}
 
 
 def shade_hits(scene, origin, direction, hit_idx, fetch: str = "gather",
@@ -276,16 +283,24 @@ def shade_hits(scene, origin, direction, hit_idx, fetch: str = "gather",
         if smooth:
             corner_nrm = rows[:, 19:28].reshape(-1, 3, 3)
     else:
-        v0 = scene.tri_pos[safe, 0]
-        v1 = scene.tri_pos[safe, 1]
-        v2 = scene.tri_pos[safe, 2]
-        face_nrm = scene.tri_face_nrm[safe]
-        uv0 = scene.tri_uv[safe, 0]
-        uv1 = scene.tri_uv[safe, 1]
-        uv2 = scene.tri_uv[safe, 2]
-        mat = scene.tri_mat[safe]
+        # ONE packed row gather (19 or 28 f32) instead of ~9 separate
+        # slice gathers — per-lane gathers on TPU cost per gather OP,
+        # so fusing the whole per-triangle record into one row halves
+        # big-scene (gather-fetch) frames; gradients flow back through
+        # the concat's split (scatter into each source table).
+        t_n = scene.tri_pos.shape[0]
+        cols = [scene.tri_pos.reshape(t_n, 9), scene.tri_face_nrm,
+                scene.tri_uv.reshape(t_n, 6),
+                scene.tri_mat.astype(jnp.float32)[:, None]]
         if smooth:
-            corner_nrm = scene.tri_nrm[safe]
+            cols.append(scene.tri_nrm.reshape(t_n, 9))
+        rows = jnp.concatenate(cols, axis=1)[safe]
+        v0, v1, v2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+        face_nrm = rows[:, 9:12]
+        uv0, uv1, uv2 = rows[:, 12:14], rows[:, 14:16], rows[:, 16:18]
+        mat = rows[:, 18].astype(jnp.int32)
+        if smooth:
+            corner_nrm = rows[:, 19:28].reshape(-1, 3, 3)
     _valid, t, u, v = moller_trumbore(origin, direction, v0, v1, v2)
     # Sanitize miss lanes: their MT solution is garbage (possibly ±inf),
     # and infinities poison gradients even through masked-out branches
