@@ -92,14 +92,25 @@ def _resolve_fetch(scene, settings) -> str:
     if jax.default_backend() == "cpu":
         return "gather"
     n = scene.tri_pos.shape[0]
-    # Round-4 re-measurement killed the r3 auto 'kernel' pick for
-    # 8192-16384-tri scenes: with trustworthy timing (the r3 crossover
-    # numbers came from delta measurements later shown to carry a
-    # phantom 2.5x, utils/roofline.py) the in-kernel fetch is SLOWER on
-    # its supposed best case (cs16 fwd 93.7 ms kernel vs 87.0 onehot,
-    # results/profile_cs16_dust_512_b2.json) and 2x slower on katana.
-    # 'kernel' remains an explicit, now gradient-safe opt-in
-    # (_kernel_shade); auto picks the wavefront fetches only.
+    # Auto crossovers, re-measured round 4 under trustworthy timing
+    # (the r3 numbers carried a phantom 2.5x delta corruption):
+    #   - onehot wins up to ~12k tris (cs16 11.2k: fwd 16.2 vs 14.7
+    #     Mrays/s kernel-fetch),
+    #   - the in-kernel fetch wins for DENSE upper-mid scenes where the
+    #     O(rays x n) one-hot starts to bite but the doubled leaf
+    #     matvec doesn't (dense_monkey 15.7k: 26.8 vs 23.1),
+    #   - gathers (packed single-row) win beyond the one-hot range
+    #     (katana 90.7k: kernel-fetch loses 2x on paged leaves).
+    # The kernel pick is gradient-safe since round 4 (_kernel_shade
+    # custom VJP), so auto may take it for differentiated renders too.
+    if (12288 <= n <= 16384
+            and scene.cluster is not None and scene.cluster.uv is not None
+            and not (settings.smooth_shading or settings.soft_edges > 0.0
+                     or settings.alpha_test)
+            and settings.traversal in ("auto", "sweep")
+            and scene.cluster.n_clusters * scene.cluster.k
+            > settings.brute_max_tris):
+        return "kernel"
     return "onehot" if n <= 16384 else "gather"
 
 

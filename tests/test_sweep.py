@@ -319,21 +319,26 @@ def test_kernel_shade_fetch_camera_grads_match_onehot():
                                atol=2e-4 * np.abs(go).max())
 
 
-def test_resolve_fetch_auto_never_picks_kernel(monkeypatch):
-    """Round-4 contract: auto shade_fetch picks the wavefront fetches
-    only (the r3 auto 'kernel' pick for mid-size scenes was based on
-    corrupted timing and silently zeroed vertex gradients — advisor r3
-    high finding). 'kernel' stays an explicit, gradient-safe opt-in
-    (covered by the grad-equality tests above)."""
+def test_resolve_fetch_auto_crossovers(monkeypatch):
+    """Auto shade_fetch crossovers (round-4 measured): onehot to ~12k
+    tris, in-kernel fetch for dense upper-mid scenes (gradient-safe via
+    _kernel_shade — the r3 auto pick that silently zeroed vertex grads
+    is covered by the grad-equality tests above), packed gathers
+    beyond; incompatible modes force the wavefront fetch."""
     from dustraytracer_tpu.render import integrator as ig
     from dustraytracer_tpu.scene.settings import RenderSettings
 
-    scene = build_scene(make_random_tri_doc(200, seed=1), use_native=False)
+    # >512 padded tris so the auto-brute crossover doesn't mask the pick
+    scene = build_scene(make_random_tri_doc(600, seed=1), use_native=False)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     import dataclasses
-    fake = dataclasses.replace(
-        scene, tri_pos=jnp.zeros((9000, 3, 3)), cluster=scene.cluster)
-    assert ig._resolve_fetch(fake, RenderSettings()) == "onehot"
-    big = dataclasses.replace(
-        scene, tri_pos=jnp.zeros((20000, 3, 3)), cluster=scene.cluster)
-    assert ig._resolve_fetch(big, RenderSettings()) == "gather"
+
+    def with_n(n):
+        return dataclasses.replace(
+            scene, tri_pos=jnp.zeros((n, 3, 3)), cluster=scene.cluster)
+
+    assert ig._resolve_fetch(with_n(9000), RenderSettings()) == "onehot"
+    assert ig._resolve_fetch(with_n(15000), RenderSettings()) == "kernel"
+    assert ig._resolve_fetch(
+        with_n(15000), RenderSettings(smooth_shading=True)) == "onehot"
+    assert ig._resolve_fetch(with_n(20000), RenderSettings()) == "gather"
