@@ -51,6 +51,9 @@ def main():
     W = H = size
     n = W * H
     ids = jnp.arange(n, dtype=jnp.int32)
+    from dustraytracer_tpu.render.integrator import _resolve_fetch
+    fetch = _resolve_fetch(scene, settings)
+    print(f"(shading fetch: {fetch!r})", flush=True)
     tracers = _make_tracers(scene, settings)
     closest, anyhit = tracers
     sun_pos = lights.sun_position()
@@ -71,12 +74,12 @@ def main():
                 + jnp.sum(hit_idx)
             if stop == "trace":
                 return acc
-            sh = shade_hits(scene, origin, direction, hit_idx, "onehot")
+            sh = shade_hits(scene, origin, direction, hit_idx, fetch)
             acc += sum(jnp.sum(v.astype(jnp.float32))
                        for v in sh.values())
             if stop == "shade_hits":
                 return acc
-            matd = _fetch_material(scene, sh["material"], "onehot")
+            matd = _fetch_material(scene, sh["material"], fetch)
             alb = _albedo(scene, matd, sh["uv"])
             throughput = jnp.where((hit_idx >= 0)[:, None], alb, 1.0)
             sky = _sky(direction, lights)
