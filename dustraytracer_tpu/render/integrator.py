@@ -115,10 +115,14 @@ def _resolve_fetch(scene, settings) -> str:
 
 
 def _mat_fetch(fetch: str) -> str:
-    """Material-table fetch mode: the material table is tiny, so the
-    kernel path still fetches it on the wavefront (one-hot on TPU)."""
-    if fetch != "kernel":
-        return fetch
+    """Material-table fetch mode: ALWAYS one-hot on TPU, whatever the
+    triangle fetch uses. Material tables are tiny (tens of rows), so
+    the one-hot matmul is cheap forward — and its TRANSPOSE is a small
+    matmul, where the gather VJP is a rays-count serialized scatter:
+    katana's albedo gradients paid +12.7 ms/sample for exactly that
+    (results/katana_bwd_probe.log: fwd 42.2, bwd+scalar 42.7,
+    bwd+albedo 54.9 before this change). CPU keeps native gathers."""
+    del fetch
     return "gather" if jax.default_backend() == "cpu" else "onehot"
 
 
