@@ -272,3 +272,83 @@ def _build_bvh_numpy(tri_pos: np.ndarray, leaf_target: int,
         n_nodes=m,
         depth=max_depth,
     )
+
+
+# ---- live-vertex refit of the threaded node boxes (round 5) ----
+#
+# `Scene.replace(tri_pos=...)` must leave NO stale acceleration data.
+# The cluster tables re-bake via accel/cluster.refit_cluster_bvh; the
+# main threaded BVH (the gather walk's boxes, ops/traverse.py) refits
+# here. Topology is fixed, so every node's triangle coverage is a
+# CONTIGUOUS range [lo, hi) of the SAH-permuted soup (pre-order
+# property, same reverse pass as cluster.py's subtree ranges), and a
+# node box is a range-min/max over per-triangle AABBs — answered in
+# O(1) per node from a sparse table of power-of-two window reductions
+# (min/max are idempotent, so the two overlapping windows
+# [lo, lo+2^k) and [hi-2^k, hi) covering [lo, hi) give the exact
+# answer). The table build is O(N log N) fused jnp; everything
+# data-dependent (ranges, levels) is precomputed once at build time.
+
+def refit_plan(node_first: np.ndarray, node_count: np.ndarray,
+               node_skip: np.ndarray, n_nodes: int):
+    """Static per-node range-query indices for `refit_bvh_boxes`.
+
+    Returns (levels, a, b): `levels` = number of sparse-table levels,
+    `a`/`b` = (n_nodes,) i64 flat indices into the (levels, N)-stacked
+    table such that box_i = reduce(flat[a_i], flat[b_i])."""
+    m = n_nodes
+    first = np.asarray(node_first[:m], np.int64)
+    count = np.asarray(node_count[:m], np.int64)
+    skip = np.asarray(node_skip[:m], np.int64)
+    leaf = count > 0
+    lo = np.zeros(m, np.int64)
+    hi = np.zeros(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        if leaf[i]:
+            lo[i] = first[i]
+            hi[i] = first[i] + count[i]
+        else:
+            left = i + 1
+            right = skip[left]
+            lo[i] = lo[left]
+            hi[i] = hi[right] if 0 <= right < m else hi[left]
+    n = int(hi.max()) if m else 1
+    length = np.maximum(hi - lo, 1)
+    k = np.floor(np.log2(length)).astype(np.int64)
+    levels = int(k.max()) + 1 if m else 1
+    a = k * n + lo
+    b = k * n + hi - (1 << k)
+    return levels, a.astype(np.int32), b.astype(np.int32), n
+
+
+def refit_bvh_boxes(tri_pos, node_min, node_max, *, levels: int,
+                    range_a, range_b, n_tris: int, n_nodes: int):
+    """Recompute the threaded node boxes from live (N', 3, 3) vertices
+    (jit-safe; pure jnp). Returns (node_min, node_max) with padding rows
+    past `n_nodes` preserved from the inputs."""
+    import jax.numpy as jnp
+
+    tp = tri_pos[:n_tris]
+    tmin = tp.min(axis=1)
+    tmax = tp.max(axis=1)
+
+    def table(x, reduce_fn):
+        lev = [x]
+        for k in range(1, levels):
+            h = 1 << (k - 1)
+            prev = lev[-1]
+            # clamped shift: rows past N-2^k are never queried
+            shifted = jnp.concatenate(
+                [prev[h:], jnp.repeat(prev[-1:], h, axis=0)], axis=0)
+            lev.append(reduce_fn(prev, shifted))
+        return jnp.concatenate(lev, axis=0)  # (levels*N, 3)
+
+    flat_min = table(tmin, jnp.minimum)
+    flat_max = table(tmax, jnp.maximum)
+    a = range_a[:n_nodes]
+    b = range_b[:n_nodes]
+    new_min = jnp.minimum(flat_min[a], flat_min[b])
+    new_max = jnp.maximum(flat_max[a], flat_max[b])
+    node_min = jnp.concatenate([new_min, node_min[n_nodes:]], axis=0)
+    node_max = jnp.concatenate([new_max, node_max[n_nodes:]], axis=0)
+    return node_min, node_max

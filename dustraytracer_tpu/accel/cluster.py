@@ -239,10 +239,16 @@ def refit_cluster_bvh(cb: ClusterBvh, tri_pos) -> ClusterBvh:
         # re-derive the oriented geometric normal from live edges; the
         # ingest orientation (Scene.cu:270-302 rule) is preserved by
         # sign-matching against the previous normal (same rule
-        # shade_hits applies when it recomputes normals for AD)
+        # shade_hits applies when it recomputes normals for AD).
+        # Double-where normalization: padding rows are exactly zero,
+        # where sqrt'(0)=inf would NaN-poison even ZERO cotangents in
+        # the refit transpose (Scene.replace differentiates through
+        # this on the way to a stop_gradient boundary).
         raw = jnp.cross(e1, e2)
-        raw = raw / jnp.maximum(
-            jnp.linalg.norm(raw, axis=-1, keepdims=True), 1e-20)
+        n2 = jnp.sum(raw * raw, axis=-1, keepdims=True)
+        good = n2 > 1e-24
+        raw = jnp.where(good,
+                        raw / jnp.sqrt(jnp.where(good, n2, 1.0)), 0.0)
         old = cb.face_nrm[:c]
         sign = jnp.where(jnp.sum(raw * old, axis=-1, keepdims=True) < 0,
                          -1.0, 1.0)

@@ -38,16 +38,12 @@ def apply_params(scene, camera, lights, params: dict):
     scene_keys = {k: v for k, v in params.items()
                   if k not in ("camera", "lights")}
     if scene_keys:
+        # Scene.replace re-bakes the cluster tables when tri_pos changes
+        # (jit-safe refit) so vertex optimization runs on the fast
+        # sweep/cluster kernels instead of the gather walk — and a
+        # vertex-perturbed scene can never silently render stale
+        # geometry (scene/scene.py::Scene.replace).
         scene = scene.replace(**scene_keys)
-    if "tri_pos" in scene_keys and scene.cluster is not None \
-            and scene.cluster.subtree_mask is not None:
-        # live vertices: re-bake the cluster tables + node AABBs with
-        # fixed topology so vertex optimization runs on the fast
-        # sweep/cluster kernels instead of the gather walk
-        from dustraytracer_tpu.accel.cluster import refit_cluster_bvh
-
-        scene = scene.replace(
-            cluster=refit_cluster_bvh(scene.cluster, scene.tri_pos))
     camera = params.get("camera", camera)
     lights = params.get("lights", lights)
     return scene, camera, lights

@@ -18,6 +18,86 @@ def _wrap(x):
     return x - jnp.floor(x)
 
 
+# ---- float-stack texel fetch with a TPU-native backward (round 5) ----
+#
+# The learnable-texture path (float stacks, decode_textures) fetches
+# texels by gather; the gather's VJP is a scatter-add that XLA:TPU
+# serializes per update — measured 1374.8 ms/sample on cs16 512x512
+# (results/profile_cs16_dust_512_b2.json), ~21x the whole frame, making
+# `--optimize textures` unusable on chip (VERDICT r4 item 1). The
+# custom VJP below keeps the forward gather but accumulates cotangents
+# with the TRANSPOSE of the one-hot selection: factor the flat texel id
+# as (row = t*H + y, col = x) and compute, per channel,
+#     cot[row, col] = onehot_rows^T @ (onehot_cols * g_c)
+# — one (A, U) x (U, B) MXU contraction with A*B = T*H*W, the same
+# iota-compare one-hot XLA fuses without materializing (the trick
+# behind _onehot_rows / _mat_fetch, render/integrator.py). FLOP cost is
+# 2*U*N per channel (U fetch events, N texels): ~0.8 TFLOP for cs16 —
+# milliseconds on the MXU vs seconds of serialized scatter.
+
+# Texel spaces past this size make the dense one-hot transpose pay more
+# FLOPs than the serialized scatter costs; fall back to the scatter VJP
+# (none of the bundled scenes comes close: cs16 1.5M, dense_monkey 1.0M).
+MATMUL_BWD_MAX_TEXELS = 16 * 1024 * 1024
+
+_FETCH_CACHE = {}
+
+
+def _float_fetch(mode: str):
+    """Cached custom-vjp float-texel fetch. mode: 'auto' (matmul
+    transpose on TPU, scatter on CPU), 'matmul', 'scatter'."""
+    if mode in _FETCH_CACHE:
+        return _FETCH_CACHE[mode]
+
+    @jax.custom_vjp
+    def fetch(stack, t, y, x):
+        return stack[t, y, x, :3]
+
+    def fwd(stack, t, y, x):
+        shape = jax.ShapeDtypeStruct(stack.shape, stack.dtype)
+        return fetch(stack, t, y, x), (shape, t, y, x)
+
+    def bwd(res, g):
+        import numpy as np
+
+        shape, t, y, x = res
+        T, H, W, C = shape.shape
+        n_texels = T * H * W
+        use_matmul = mode == "matmul" or (
+            mode == "auto" and jax.default_backend() != "cpu"
+            and n_texels <= MATMUL_BWD_MAX_TEXELS)
+        if use_matmul:
+            A, B = T * H, W
+            row = (t * H + y).reshape(-1)
+            col = x.reshape(-1)
+            gf = g.reshape(-1, 3).astype(jnp.float32)
+            ohr = (row[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (row.shape[0], A), 1)).astype(jnp.float32)
+            ohc = (col[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (col.shape[0], B), 1)).astype(jnp.float32)
+            chans = [
+                jax.lax.dot_general(
+                    ohr, ohc * gf[:, c:c + 1], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (A, B)
+                for c in range(3)
+            ]
+            d_rgb = jnp.stack(chans, axis=-1).reshape(T, H, W, 3)
+            d_stack = jnp.concatenate(
+                [d_rgb, jnp.zeros((T, H, W, C - 3), jnp.float32)],
+                axis=-1).astype(shape.dtype)
+        else:
+            d_stack = jnp.zeros(shape.shape, shape.dtype) \
+                .at[t, y, x, :3].add(g.astype(shape.dtype))
+        f0 = np.zeros(t.shape, jax.dtypes.float0)
+        return (d_stack, f0,
+                np.zeros(y.shape, jax.dtypes.float0),
+                np.zeros(x.shape, jax.dtypes.float0))
+
+    fetch.defvjp(fwd, bwd)
+    _FETCH_CACHE[mode] = fetch
+    return fetch
+
+
 def packed_texels(scene):
     """(T*H*W,) u32 view of the u8 RGBA stack — one 32-bit word per
     texel. A texel lookup becomes ONE 1-D gather + VPU byte unpack
@@ -57,9 +137,10 @@ def sample_texture(scene, tex_idx, uv, bilinear: bool = False):
                 axis=-1) / 255.0
             return rgb * rgb  # gamma-2 decode (Texture.cu:56)
         # float stacks store LINEAR texel values (the learnable-texture
-        # path for inverse rendering) — no decode; gathers keep the
-        # texel-gradient scatter path intact
-        return scene.tex_stack[safe, yi, xi, :3]
+        # path for inverse rendering) — no decode. The fetch's custom
+        # VJP accumulates texel cotangents with one-hot matmuls on TPU
+        # instead of the serialized scatter (see _float_fetch above).
+        return _float_fetch("auto")(scene.tex_stack, safe, yi, xi)
 
     if not bilinear:
         return fetch(fu.astype(jnp.int32), fv.astype(jnp.int32))

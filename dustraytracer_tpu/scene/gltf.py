@@ -151,27 +151,53 @@ class _Reader:
 
     def accessor(self, idx: int) -> np.ndarray:
         acc = self.gltf["accessors"][idx]
-        if "sparse" in acc:
-            raise NotImplementedError("sparse accessors not supported")
         count = acc["count"]
         n_comp = _TYPE_COUNTS[acc["type"]]
         dtype = np.dtype(_COMPONENT_DTYPES[acc["componentType"]])
         if "bufferView" not in acc:
-            return np.zeros((count, n_comp) if n_comp > 1 else (count,), dtype)
-        bv = self.gltf["bufferViews"][acc["bufferView"]]
-        buf = self.buffers[bv["buffer"]]
-        start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
-        stride = bv.get("byteStride") or dtype.itemsize * n_comp
-        elem_bytes = dtype.itemsize * n_comp
-        if stride == elem_bytes:
-            arr = np.frombuffer(buf, dtype, count * n_comp, start)
+            arr = np.zeros((count, n_comp) if n_comp > 1 else (count,),
+                           dtype)
         else:
-            # strided: gather each element
-            raw = np.frombuffer(buf, np.uint8)
-            idxs = start + stride * np.arange(count)[:, None] + np.arange(elem_bytes)[None, :]
-            arr = raw[idxs].copy().view(dtype)
-        arr = arr.reshape(count, n_comp) if n_comp > 1 else arr.reshape(count)
+            bv = self.gltf["bufferViews"][acc["bufferView"]]
+            buf = self.buffers[bv["buffer"]]
+            start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+            stride = bv.get("byteStride") or dtype.itemsize * n_comp
+            elem_bytes = dtype.itemsize * n_comp
+            if stride == elem_bytes:
+                arr = np.frombuffer(buf, dtype, count * n_comp, start)
+            else:
+                # strided: gather each element
+                raw = np.frombuffer(buf, np.uint8)
+                idxs = start + stride * np.arange(count)[:, None] \
+                    + np.arange(elem_bytes)[None, :]
+                arr = raw[idxs].copy().view(dtype)
+            arr = (arr.reshape(count, n_comp) if n_comp > 1
+                   else arr.reshape(count))
+        if "sparse" in acc:
+            # base + sparse overlay (glTF 2.0 §3.6.2.4; tinygltf handles
+            # this transparently for the reference, Scene.cu:22-57):
+            # `indices` selects rows of the base array, `values` replaces
+            # them. The base may be a zero-filled bufferView-less array.
+            sp = acc["sparse"]
+            n_sp = sp["count"]
+            idx_dt = np.dtype(_COMPONENT_DTYPES[
+                sp["indices"]["componentType"]])
+            rows = self._sparse_block(sp["indices"], n_sp, 1, idx_dt)
+            vals = self._sparse_block(sp["values"], n_sp, n_comp, dtype)
+            arr = arr.copy()
+            arr[rows.astype(np.int64)] = (
+                vals if n_comp > 1 else vals.reshape(n_sp))
         return arr
+
+    def _sparse_block(self, block: dict, count: int, n_comp: int,
+                      dtype: np.dtype) -> np.ndarray:
+        """Read a sparse indices/values block: a bufferView + byteOffset
+        pair holding `count` tightly-packed elements."""
+        bv = self.gltf["bufferViews"][block["bufferView"]]
+        buf = self.buffers[bv["buffer"]]
+        start = bv.get("byteOffset", 0) + block.get("byteOffset", 0)
+        arr = np.frombuffer(buf, dtype, count * n_comp, start)
+        return arr.reshape(count, n_comp) if n_comp > 1 else arr
 
     def image(self, idx: int) -> np.ndarray:
         from PIL import Image

@@ -86,6 +86,13 @@ class Scene:
     # --- optional gather-free acceleration tables (accel/cluster.py) ---
     cluster: object = None  # ClusterBvh | None (pytree child)
 
+    # --- static refit plan for the threaded BVH boxes (accel/bvh.py
+    #     refit_plan): flat sparse-table indices so Scene.replace can
+    #     re-derive node_min/node_max from live vertices ---
+    bvh_range_a: jax.Array | None = None  # (n_nodes,) i32
+    bvh_range_b: jax.Array | None = None  # (n_nodes,) i32
+    bvh_levels: int = field(metadata=dict(static=True), default=0)
+
     # --- static metadata (aux; not traced) ---
     n_tris: int = field(metadata=dict(static=True), default=0)
     n_nodes: int = field(metadata=dict(static=True), default=0)
@@ -98,6 +105,37 @@ class Scene:
     mesh_tri_counts: tuple = field(metadata=dict(static=True), default=())
 
     def replace(self, **kw) -> "Scene":
+        """dataclasses.replace, with one guard: replacing `tri_pos` on a
+        scene that carries baked cluster tables RE-BAKES them (jit-safe
+        refit, accel/cluster.py) unless the caller passes `cluster`
+        explicitly. Without this, a vertex-perturbed scene silently
+        rendered the OLD geometry on the sweep/cluster fast path while
+        the gather walk saw the new — the round-4 stale-table footgun
+        (tests dodged it by forcing traversal='gather')."""
+        if ("tri_pos" in kw and "cluster" not in kw
+                and self.cluster is not None):
+            if self.cluster.subtree_mask is None:
+                raise ValueError(
+                    "replacing tri_pos on a scene whose cluster tables "
+                    "have no refit plan (subtree_mask=None) would leave "
+                    "them stale; pass cluster=... explicitly")
+            from dustraytracer_tpu.accel.cluster import refit_cluster_bvh
+
+            kw = dict(kw, cluster=refit_cluster_bvh(self.cluster,
+                                                    kw["tri_pos"]))
+        if ("tri_pos" in kw and "node_min" not in kw
+                and self.bvh_range_a is not None and self.bvh_levels):
+            # the threaded BVH's boxes (gather-walk path) refit too —
+            # live triangles under stale boxes can MISS hits near the
+            # moved geometry (accel/bvh.py refit_bvh_boxes)
+            from dustraytracer_tpu.accel.bvh import refit_bvh_boxes
+
+            nm, nx = refit_bvh_boxes(
+                kw["tri_pos"], self.node_min, self.node_max,
+                levels=self.bvh_levels, range_a=self.bvh_range_a,
+                range_b=self.bvh_range_b, n_tris=self.n_tris,
+                n_nodes=self.n_nodes)
+            kw = dict(kw, node_min=nm, node_max=nx)
         return dataclasses.replace(self, **kw)
 
     @property
@@ -230,6 +268,13 @@ def build_scene(doc: GltfDocument, leaf_target: int = MAX_LEAF,
         cluster = build_cluster_bvh(pos_p, k=cluster_k, bins=bins,
                                     uv=uv_p, face_nrm=fn_p, mat=mat_p)
 
+    # static refit plan for the threaded node boxes (Scene.replace)
+    from dustraytracer_tpu.accel.bvh import refit_plan
+
+    bvh_levels, range_a, range_b, plan_n = refit_plan(
+        bvh.node_first, bvh.node_count, bvh.node_skip, bvh.n_nodes)
+    assert plan_n == n_tris, (plan_n, n_tris)
+
     return Scene(
         cluster=cluster,
         tri_pos=jnp.asarray(pos_p),
@@ -254,6 +299,9 @@ def build_scene(doc: GltfDocument, leaf_target: int = MAX_LEAF,
         tex_stack=jnp.asarray(stack),
         tex_hw=jnp.asarray(hw),
         tex_has_alpha=jnp.asarray(has_alpha),
+        bvh_range_a=jnp.asarray(range_a),
+        bvh_range_b=jnp.asarray(range_b),
+        bvh_levels=bvh_levels,
         n_tris=int(n_tris),
         n_nodes=int(bvh.n_nodes),
         n_materials=len(mats),

@@ -103,6 +103,12 @@ class RenderSettings:
     #   Requires the sweep backend; incompatible with smooth_shading,
     #   soft_edges and alpha_test (those need per-hit wavefront
     #   recomputation) — _resolve_fetch raises on bad combos.
+    #   Note: the MATERIAL-table fetch is always one-hot on TPU even
+    #   when shade_fetch="gather" is requested explicitly — material
+    #   tables are tiny, values are identical either way, and the
+    #   gather's VJP is a serialized scatter that cost katana +12.7
+    #   ms/sample (integrator._mat_fetch); only the TRIANGLE-attribute
+    #   fetch strategy follows this setting.
     alpha_test: bool = False        # alpha-cutout any-hit (AnyHit.cuh:8-28)
     alpha_rounds: int = 8           # max re-traces past transparent hits
     #   on the cluster fast path (stacked-cutout depth bound)

@@ -570,6 +570,13 @@ def volume_efficiency(cluster, origin, direction, rates: dict | None = None,
     is_leaf_node = tabs[3][:tabs[8]] >= 0
     useful_nodes = useful_leafs = 0
     exec_subs = exec_leafs = 0
+    # Accumulate useful AND executed work for the same tile set, or
+    # neither: a counter array shorter than the replay tile list would
+    # otherwise silently inflate vol_eff_pct — the exact failure mode
+    # this metric exists to catch (advisor r4 finding #2).
+    assert w_tile.shape[0] > max(pick), (
+        f"kernel per-tile counters cover {w_tile.shape[0]} tiles but the "
+        f"replay samples tile {max(pick)}")
     for t in pick:
         o = o_all[t * t_sz:(t + 1) * t_sz].astype(np.float64)
         d = d_all[t * t_sz:(t + 1) * t_sz].astype(np.float64)
@@ -580,9 +587,8 @@ def volume_efficiency(cluster, origin, direction, rates: dict | None = None,
         # the leaf box — a lane merely parked at a leaf costs a window
         # substep, not a leaf substep
         useful_leafs += int((entered.any(axis=0) & is_leaf_node).sum())
-        if t < w_tile.shape[0]:
-            exec_subs += int(w_tile[t]) * UNROLL
-            exec_leafs += int(l_tile[t])
+        exec_subs += int(w_tile[t]) * UNROLL
+        exec_leafs += int(l_tile[t])
     out = {
         "n_tiles_sampled": len(pick),
         "useful_node_steps": useful_nodes,

@@ -116,6 +116,72 @@ def test_node_transform_applied(tmp_path):
                                positions * 2 + [5, 0, 0])
 
 
+def test_sparse_accessor_position_overlay(tmp_path):
+    """glTF sparse accessors (§3.6.2.4): base + index/value overlay.
+    tinygltf resolves these transparently for the reference
+    (`Scene.cu:22-57`); round 4 raised NotImplementedError. The fixture
+    overlays 2 of 4 base positions (one triangle pair), exercising both
+    the bufferView base and the replacement path."""
+    base = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [9, 9, 9]],
+                    np.float32)
+    sparse_rows = np.array([1, 3], np.uint16)
+    sparse_vals = np.array([[2, 0, 0], [0, 0, 5]], np.float32)
+    indices = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+
+    pbytes = base.tobytes()
+    rbytes = sparse_rows.tobytes()
+    vbytes = sparse_vals.tobytes()
+    ibytes = indices.tobytes()
+    bin_data = pbytes + rbytes + vbytes + ibytes
+    off_r = len(pbytes)
+    off_v = off_r + len(rbytes)
+    off_i = off_v + len(vbytes)
+
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0}, "indices": 1}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3",
+             "sparse": {
+                 "count": 2,
+                 "indices": {"bufferView": 1, "componentType": 5123},
+                 "values": {"bufferView": 2},
+             }},
+            {"bufferView": 3, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(pbytes)},
+            {"buffer": 0, "byteOffset": off_r, "byteLength": len(rbytes)},
+            {"buffer": 0, "byteOffset": off_v, "byteLength": len(vbytes)},
+            {"buffer": 0, "byteOffset": off_i, "byteLength": len(ibytes)},
+        ],
+        "buffers": [{"byteLength": len(bin_data)}],
+    }
+    jbytes = json.dumps(gltf).encode()
+    jbytes += b" " * (-len(jbytes) % 4)
+    glb = struct.pack("<III", 0x46546C67, 2,
+                      12 + 8 + len(jbytes) + 8 + len(bin_data))
+    glb += struct.pack("<II", len(jbytes), 0x4E4F534A) + jbytes
+    glb += struct.pack("<II", len(bin_data), 0x004E4942) + bin_data
+    p = tmp_path / "sparse.glb"
+    p.write_bytes(glb)
+
+    doc = load_gltf(p)
+    assert doc.triangle_count == 2
+    expect = base.copy()
+    expect[1] = [2, 0, 0]
+    expect[3] = [0, 0, 5]
+    got = doc.primitives[0].positions  # (2, 3, 3) corner positions
+    np.testing.assert_allclose(got[0], expect[indices[:3].astype(int)])
+    np.testing.assert_allclose(got[1], expect[indices[3:].astype(int)])
+
+
 def test_feature_probe_scenes_load():
     """The reference's manual test fixtures (SURVEY §4) must all ingest."""
     for name in ["test/bvhsplitTest.glb", "test/UVtextureTest.glb",

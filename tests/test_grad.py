@@ -90,19 +90,16 @@ def test_vertex_position_grad_matches_fd(setup):
 
     base = np.asarray(scene.tri_pos)
 
-    # vertex optimization mutates tri_pos -> baked cluster tables go
-    # stale; the gather traversal reads live geometry (documented
-    # constraint, integrator._make_tracers)
-    sg = s.replace(traversal="gather")
-
     def f(delta):
         # tilt the ground quad: raise ONE vertex of triangle 0 — changes
         # the face normal (NEE cosine + bounce lobe) and the hit point;
         # pure translation would be invisible to this integrator (constant
-        # sun direction, directional sky)
+        # sun direction, directional sky). Scene.replace re-bakes the
+        # cluster tables from the live tri_pos (round-5 stale-table
+        # guard), so this runs on the DEFAULT traversal path.
         tp = jnp.asarray(base).at[0, 0, 1].add(delta.reshape(()))
         img = render_sample(scene.replace(tri_pos=tp), cam, lights,
-                            jnp.uint32(0), width=W, height=H, settings=sg)
+                            jnp.uint32(0), width=W, height=H, settings=s)
         return jnp.mean(img)
 
     ad, fd = check_grads_vs_fd(f, np.array([0.0]), eps=5e-3, rtol=8e-2)

@@ -1,0 +1,113 @@
+"""Texture-gradient backward: the one-hot matmul transpose must match
+the scatter VJP (render/texture.py::_float_fetch, VERDICT r4 item 1).
+
+The forward being differentiated is the reference's texel fetch
+(`Texture.cu:33-58` semantics) on a LINEAR float stack — the learnable-
+texture path (decode_textures) used by `--optimize textures`."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dustraytracer_tpu.render.texture import _float_fetch, decode_textures
+
+
+def _stack_and_ids(seed=0, T=3, H=24, W=16, U=500):
+    rng = np.random.default_rng(seed)
+    stack = rng.uniform(0, 1, (T, H, W, 4)).astype(np.float32)
+    t = rng.integers(0, T, U).astype(np.int32)
+    y = rng.integers(0, H, U).astype(np.int32)
+    x = rng.integers(0, W, U).astype(np.int32)
+    cot = rng.normal(size=(U, 3)).astype(np.float32)
+    return (jnp.asarray(stack), jnp.asarray(t), jnp.asarray(y),
+            jnp.asarray(x), jnp.asarray(cot))
+
+
+def _grad(mode, stack, t, y, x, cot):
+    def loss(s):
+        return jnp.sum(_float_fetch(mode)(s, t, y, x) * cot)
+
+    return np.asarray(jax.grad(loss)(stack))
+
+
+def test_matmul_bwd_matches_scatter():
+    stack, t, y, x, cot = _stack_and_ids()
+    g_scatter = _grad("scatter", stack, t, y, x, cot)
+    g_matmul = _grad("matmul", stack, t, y, x, cot)
+    # identical accumulation values, different summation order/engine
+    np.testing.assert_allclose(g_matmul, g_scatter, rtol=1e-5, atol=1e-5)
+    assert np.abs(g_scatter).max() > 0.0
+    # alpha channel receives no cotangent from the RGB fetch
+    np.testing.assert_array_equal(g_matmul[..., 3], 0.0)
+
+
+def test_matmul_bwd_duplicate_texels_accumulate():
+    """Many fetches of the SAME texel must sum, not overwrite."""
+    stack = jnp.asarray(np.random.default_rng(1)
+                        .uniform(0, 1, (1, 4, 4, 4)).astype(np.float32))
+    U = 64
+    t = jnp.zeros(U, jnp.int32)
+    y = jnp.full((U,), 2, jnp.int32)
+    x = jnp.full((U,), 3, jnp.int32)
+    cot = jnp.ones((U, 3), jnp.float32)
+    g = _grad("matmul", stack, t, y, x, cot)
+    np.testing.assert_allclose(g[0, 2, 3, :3], U, rtol=1e-6)
+    assert np.abs(g).sum() == pytest.approx(3 * U, rel=1e-6)
+
+
+def test_forward_value_unchanged_by_custom_vjp():
+    stack, t, y, x, _ = _stack_and_ids(seed=2)
+    out = _float_fetch("auto")(stack, t, y, x)
+    ref = stack[t, y, x, :3]
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_render_texture_grads_match_across_bwd_modes():
+    """Full-pipeline check: d(image)/d(tex_stack) through render_pixels
+    is identical (tolerance) whether the fetch backward scatters or
+    matmul-transposes."""
+    from dustraytracer_tpu.render.integrator import render_pixels
+    from dustraytracer_tpu.scene.camera import make_camera
+    from dustraytracer_tpu.scene.gltf import GltfMaterial
+    from dustraytracer_tpu.scene.scene import build_scene
+    from dustraytracer_tpu.scene.settings import LightParams, RenderSettings
+    from tests.util_scenes import make_random_tri_doc
+    import dustraytracer_tpu.render.texture as tex_mod
+
+    doc = make_random_tri_doc(120, seed=3)
+    rng = np.random.default_rng(0)
+    img8 = rng.integers(0, 255, (8, 8, 4), dtype=np.uint8)
+    img8[..., 3] = 255
+    doc = doc.__class__(meshes=doc.meshes,
+                        materials=[GltfMaterial(base_color_texture=0)],
+                        images=[img8], cameras=doc.cameras)
+    scene = decode_textures(build_scene(doc, use_native=False))
+    cam = make_camera(position=(0, 2, 12), look_at=(0, 0, 0), vfov_deg=50)
+    s = RenderSettings(bounces=2, enable_tonemap=False, enable_gamma=False)
+    lights = LightParams.from_settings(s)
+    ids = jnp.arange(24 * 24, dtype=jnp.int32)
+
+    def grad_with(mode):
+        orig = tex_mod._float_fetch
+
+        def patched(_m):
+            return orig(mode)
+
+        tex_mod._float_fetch = patched
+        try:
+            def loss(stack):
+                img = render_pixels(scene.replace(tex_stack=stack), cam,
+                                    lights, jnp.uint32(0), ids,
+                                    width=24, height=24, settings=s)
+                return jnp.mean(img)
+
+            return np.asarray(jax.grad(loss)(scene.tex_stack))
+        finally:
+            tex_mod._float_fetch = orig
+
+    gs = grad_with("scatter")
+    gm = grad_with("matmul")
+    assert np.abs(gs).max() > 0.0
+    np.testing.assert_allclose(gm, gs, rtol=1e-5,
+                               atol=1e-6 * np.abs(gs).max())
