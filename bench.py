@@ -99,17 +99,28 @@ def main():
 
         from dustraytracer_tpu.ops.traverse_sweep import (
             traverse_cluster_sweep)
+        from dustraytracer_tpu.render.integrator import _resolve_fetch
 
         n_warm = WIDTH * HEIGHT
         ow = jnp.zeros((n_warm, 3), jnp.float32)
         dw = jnp.ones((n_warm, 3), jnp.float32)
 
-        def _warm(anyhit):
-            jax.jit(lambda: traverse_cluster_sweep(
-                scene.cluster, ow, dw, anyhit=anyhit)).lower().compile()
+        # Since round 5 closest/anyhit share ONE Mosaic module (anyhit
+        # is a runtime scalar), so a single warm compile covers both.
+        # Configs that resolve to the in-kernel shading fetch compile
+        # the emit_attrs module too — warm it concurrently (advisor r4
+        # finding #3: it used to compile cold inside the main lowering).
+        emits = [False]
+        if _resolve_fetch(scene, settings) == "kernel":
+            emits.append(True)
 
-        with cf.ThreadPoolExecutor(2) as ex:
-            list(ex.map(_warm, [False, True]))
+        def _warm(emit):
+            jax.jit(lambda: traverse_cluster_sweep(
+                scene.cluster, ow, dw,
+                emit_attrs=emit)).lower().compile()
+
+        with cf.ThreadPoolExecutor(len(emits)) as ex:
+            list(ex.map(_warm, emits))
         warm_s = time.perf_counter() - compile_t0
     except Exception:
         warm_s = None

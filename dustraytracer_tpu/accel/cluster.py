@@ -72,6 +72,92 @@ class ClusterBvh:
     face_nrm: jax.Array | None = None  # (C, K, 3) f32 oriented normal
     mat: jax.Array | None = None       # (C, K) i32 material id
 
+    # --- direction-octant node orderings (round 5) ---
+    # The reference traverses near-child-first with hit-distance culling
+    # (`BVHTraversal.cuh:30-41` + parallel dist stack :44-62); a single
+    # baked pre-order cannot. These are 8 alternative threadings of the
+    # SAME tree, one per ray-direction octant, each ordering children
+    # near-first for that octant so early hits tighten hit_t before the
+    # far subtree's boxes are tested. The sweep kernel picks the table
+    # by each TILE's octant (the leading bits of the ray sort key).
+    # oct_perm0 maps each ordering's node index to the base ordering's
+    # (for refit: recompute base boxes once, permute 8 ways).
+    oct_min: jax.Array | None = None      # (8, M, 3) f32
+    oct_max: jax.Array | None = None      # (8, M, 3) f32
+    oct_skip: jax.Array | None = None     # (8, M) i32 (-1 = done)
+    oct_cluster: jax.Array | None = None  # (8, M) i32
+    oct_perm0: jax.Array | None = None    # (8, M) i32 -> base node id
+
+
+def _octant_orders(bvh, m: int, node_cluster: np.ndarray):
+    """8 near-child-first pre-order threadings of the built tree.
+
+    For each internal node, the split axis is taken as the axis along
+    which the children's box centers differ most; 'near first' for a
+    ray-direction octant means the child whose center is smaller along
+    that axis goes first when the direction component is positive,
+    flipped when negative (the same rule the reference applies per ray,
+    `BVHTraversal.cuh:30-41` — here baked per octant). Octant bit
+    layout matches ray_sort_key: bit2 = x<0, bit1 = y<0, bit0 = z<0.
+
+    Returns (omin, omax, oskip, ocluster, operm) stacked (8, m, ...);
+    operm[o, i] = base node id of ordering o's node i."""
+    left = bvh.node_left[:m].astype(np.int64)
+    right = bvh.node_right[:m].astype(np.int64)
+    leaf = bvh.node_count[:m] > 0
+    center = 0.5 * (np.nan_to_num(bvh.node_min[:m], posinf=1e30,
+                                  neginf=-1e30)
+                    + np.nan_to_num(bvh.node_max[:m], posinf=1e30,
+                                    neginf=-1e30))
+
+    size = np.ones(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        if not leaf[i]:
+            size[i] += size[left[i]] + size[right[i]]
+
+    axis = np.zeros(m, np.int64)
+    left_smaller = np.ones(m, bool)
+    ints = np.nonzero(~leaf)[0]
+    if ints.size:
+        diff = center[right[ints]] - center[left[ints]]
+        axis[ints] = np.abs(diff).argmax(axis=1)
+        left_smaller[ints] = np.take_along_axis(
+            diff, axis[ints][:, None], axis=1)[:, 0] >= 0.0
+
+    omin = np.empty((8, m, 3), np.float32)
+    omax = np.empty((8, m, 3), np.float32)
+    oskip = np.empty((8, m), np.int32)
+    ocluster = np.empty((8, m), np.int32)
+    operm = np.empty((8, m), np.int32)
+    nmin = np.nan_to_num(bvh.node_min[:m], posinf=1e30, neginf=-1e30) \
+        .astype(np.float32)
+    nmax = np.nan_to_num(bvh.node_max[:m], posinf=1e30, neginf=-1e30) \
+        .astype(np.float32)
+    for oct_id in range(8):
+        neg = np.array([(oct_id >> 2) & 1, (oct_id >> 1) & 1, oct_id & 1],
+                       bool)
+        old_of_new = np.empty(m, np.int64)
+        stack = [0]
+        nxt = 0
+        while stack:
+            o = stack.pop()
+            old_of_new[nxt] = o
+            nxt += 1
+            if not leaf[o]:
+                first_left = left_smaller[o] != neg[axis[o]]
+                a, b = ((left[o], right[o]) if first_left
+                        else (right[o], left[o]))
+                stack.append(b)
+                stack.append(a)
+        skip = np.arange(m, dtype=np.int64) + size[old_of_new]
+        skip[skip >= m] = -1
+        omin[oct_id] = nmin[old_of_new]
+        omax[oct_id] = nmax[old_of_new]
+        oskip[oct_id] = skip.astype(np.int32)
+        ocluster[oct_id] = node_cluster[old_of_new]
+        operm[oct_id] = old_of_new.astype(np.int32)
+    return omin, omax, oskip, ocluster, operm
+
 
 def build_cluster_bvh(tri_pos: np.ndarray, k: int = CLUSTER_K,
                       bins: int = 16, uv: np.ndarray | None = None,
@@ -155,6 +241,9 @@ def build_cluster_bvh(tri_pos: np.ndarray, k: int = CLUSTER_K,
     node_min_f = np.nan_to_num(bvh.node_min, posinf=1e30, neginf=-1e30)
     node_max_f = np.nan_to_num(bvh.node_max, posinf=1e30, neginf=-1e30)
 
+    omin, omax, oskip, ocluster, operm = _octant_orders(bvh, m,
+                                                        node_cluster)
+
     # Pad both tables to multiples of 128 rows: the one-hot contraction
     # dimension then tiles exactly onto the MXU (mis-aligned contraction
     # dims triggered pathological Mosaic compiles on v5e).
@@ -181,7 +270,21 @@ def build_cluster_bvh(tri_pos: np.ndarray, k: int = CLUSTER_K,
         uv=None if uv_t is None else jnp.asarray(pad128(uv_t)),
         face_nrm=None if fn_t is None else jnp.asarray(pad128(fn_t)),
         mat=None if mat_t is None else jnp.asarray(pad128(mat_t)),
+        oct_min=jnp.asarray(_pad8(omin, 1e30)),
+        oct_max=jnp.asarray(_pad8(omax, -1e30)),
+        oct_skip=jnp.asarray(_pad8(oskip, -1)),
+        oct_cluster=jnp.asarray(_pad8(ocluster, -1)),
+        oct_perm0=jnp.asarray(_pad8(operm, 0)),
     )
+
+
+def _pad8(a: np.ndarray, fill) -> np.ndarray:
+    """pad128 along axis 1 (the per-octant node axis)."""
+    r = (-a.shape[1]) % 128
+    if r == 0:
+        return a
+    pad = np.full((a.shape[0], r) + a.shape[2:], fill, a.dtype)
+    return np.concatenate([a, pad], axis=1)
 
 
 def refit_cluster_bvh(cb: ClusterBvh, tri_pos) -> ClusterBvh:
@@ -235,6 +338,26 @@ def refit_cluster_bvh(cb: ClusterBvh, tri_pos) -> ClusterBvh:
         return jnp.concatenate([new, old[new.shape[0]:]], axis=0)
 
     extra = {}
+    if cb.oct_min is not None:
+        # the 8 octant threadings are PERMUTATIONS of the base node set
+        # (topology fixed): refit base boxes once, permute 8 ways via
+        # one-hot matmul (exact row selection on the MXU — gathers of
+        # 8*m rows would serialize on TPU)
+        perm = cb.oct_perm0[:, :m].reshape(-1)  # (8m,)
+        oh = (perm[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (perm.shape[0], m), 1)).astype(jnp.float32)
+
+        def sel(x):  # (m, 3) -> (8, m, 3)
+            return jax.lax.dot_general(
+                oh, x, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32).reshape(8, m, 3)
+
+        def splice8(old, new):
+            return jnp.concatenate([new, old[:, new.shape[1]:]], axis=1)
+
+        extra["oct_min"] = splice8(cb.oct_min, sel(nm))
+        extra["oct_max"] = splice8(cb.oct_max, sel(nx))
     if cb.face_nrm is not None:
         # re-derive the oriented geometric normal from live edges; the
         # ingest orientation (Scene.cu:270-302 rule) is preserved by

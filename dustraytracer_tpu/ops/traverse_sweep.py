@@ -56,19 +56,21 @@ BIG = 3.4e38
 # 2048). Per-ray results are tile-invariant (each lane's walk is
 # independent; tiling only schedules).
 TILE = 2048
-# Node scalar tables live in SMEM when they fit (<= MAX_SMEM_NODES, 8
-# words/node); beyond that the kernel switches to PAGED mode: the tables
-# stay in HBM and a 2-slot window of PAGE nodes streams through SMEM via
-# DMA. The uniform cursor only moves FORWARD, so page crossings are rare
-# (>= PAGE node-steps apart minus skip jumps) and the walk has no node-
-# count ceiling. 2835-node valorant_katana hit multi-minute Mosaic
-# compiles / HTTP-500 aborts with a 91 KB monolithic SMEM table — paging
-# keeps the resident scalar footprint at 2*PAGE*8 words regardless of
-# scene size.
+# Node scalar tables live in SMEM when they fit (8 words/node across
+# ALL 8 octant orderings, <= MAX_SMEM_NODES rows total); beyond that the
+# kernel switches to PAGED mode: the tables stay in HBM (8 per-octant
+# flat runs) and a 2-slot window of PAGE nodes of the TILE'S octant
+# streams through SMEM via DMA. The uniform cursor only moves FORWARD,
+# so page crossings are rare (>= PAGE node-steps apart minus skip jumps)
+# and the walk has no node-count ceiling. 2835-node valorant_katana hit
+# multi-minute Mosaic compiles / HTTP-500 aborts with a 91 KB monolithic
+# SMEM table — paging keeps the resident scalar footprint at 2*PAGE*8
+# words regardless of scene size.
 MAX_SMEM_NODES = 512  # m=1024 resident tables hit the 1 MB SMEM cap
 # (compiler: 'Used 1.00M of 1.00M smem') once pipeline bookkeeping is
-# counted; 512 leaves margin and covers every bundled scene's resident
-# case (dense_monkey: 493 nodes) — bigger scenes page
+# counted; 512 leaves margin. With 8 octant orderings resident the
+# budget is shared (resident iff 8*m <= 512, e.g. suzanne m=31); denser
+# scenes page per octant.
 # nodes per SMEM page. Must keep BOTH flat page chunks 1024-aligned
 # (Mosaic tiles 1-D refs at (1024,) and rejects unaligned slices):
 # PAGE*6 f32 box words and PAGE*2 i32 link words -> PAGE multiple of 512.
@@ -84,9 +86,9 @@ PAGE = 512
 UNROLL = 4
 
 
-def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
-            node_s, t_s, idx_s, vis_s, cnt_s, *extra, m, c, k, anyhit,
-            paged=False, m_pad=0, unroll=UNROLL, attrs=False):
+def _kernel(node_box_ref, node_link_ref, mode_ref, octs_ref, rays_ref,
+            tri_ref, out_ref, node_s, t_s, idx_s, vis_s, cnt_s, *extra,
+            m, c, k, paged=False, m_pad=0, unroll=UNROLL, attrs=False):
     if attrs:
         attr_s, *paging = extra
     else:
@@ -95,6 +97,19 @@ def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
         box_pg, link_pg, sems = paging
         n_pages = m_pad // PAGE
     t = rays_ref.shape[-1]
+
+    # anyhit is a RUNTIME scalar since round 5: closest and anyhit
+    # traversal share ONE Mosaic kernel (the bodies were ~95% identical,
+    # but as separate modules each paid its own ~90 s remote Mosaic
+    # compile cold — docs/COMPILE_TIME.md).
+    ah = mode_ref[0] != 0
+    # per-tile direction-octant: selects which of the 8 near-child-first
+    # pre-order threadings of the tree this tile walks (accel/cluster.py
+    # _octant_orders). Any ordering is CORRECT for any ray — the choice
+    # only schedules, letting early hits tighten hit_t before far
+    # subtrees are box-tested (the reference's distance-ordered culling,
+    # BVHTraversal.cuh:30-41, baked per octant).
+    oct_id = octs_ref[pl.program_id(0)]
 
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
@@ -123,19 +138,25 @@ def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
         return jnp.logical_and(step < m + 4, i < m)
 
     def _load_pages(q):
-        """Make pages q and q+1 resident (slot = page parity). Both are
-        waited before returning: a window starting late in page q may
-        read into page q+1 in the same iteration. Tables are FLAT 1-D so
-        each page is one contiguous 128-aligned HBM run (Mosaic rejects
-        2-D slices whose minor dim isn't lane-aligned)."""
+        """Make pages q and q+1 of THIS TILE'S octant table resident
+        (slot = page parity). Both are waited before returning: a window
+        starting late in page q may read into page q+1 in the same
+        iteration. Tables are FLAT 1-D so each page is one contiguous
+        128-aligned HBM run (Mosaic rejects 2-D slices whose minor dim
+        isn't lane-aligned); the octant base offsets are PAGE-aligned by
+        construction (m_pad is a PAGE multiple)."""
         q2 = jnp.minimum(q + 1, n_pages - 1)
+        base6 = oct_id * (m_pad * 6)
+        base2 = oct_id * (m_pad * 2)
         for page, slot in ((q, q % 2), (q2, (q + 1) % 2)):
             cb = pltpu.make_async_copy(
-                node_box_ref.at[pl.ds(page * (PAGE * 6), PAGE * 6)],
+                node_box_ref.at[pl.ds(base6 + page * (PAGE * 6),
+                                      PAGE * 6)],
                 box_pg.at[pl.ds(slot * (PAGE * 6), PAGE * 6)],
                 sems.at[slot, 0])
             cl = pltpu.make_async_copy(
-                node_link_ref.at[pl.ds(page * (PAGE * 2), PAGE * 2)],
+                node_link_ref.at[pl.ds(base2 + page * (PAGE * 2),
+                                       PAGE * 2)],
                 link_pg.at[pl.ds(slot * (PAGE * 2), PAGE * 2)],
                 sems.at[slot, 1])
             cb.start()
@@ -178,14 +199,15 @@ def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
             skip = link_pg[l_at + 0]     # already remapped: -1 -> m
             cluster = link_pg[l_at + 1]  # >= 0 iff leaf
         else:
-            bminx = node_box_ref[i, 0]
-            bminy = node_box_ref[i, 1]
-            bminz = node_box_ref[i, 2]
-            bmaxx = node_box_ref[i, 3]
-            bmaxy = node_box_ref[i, 4]
-            bmaxz = node_box_ref[i, 5]
-            skip = node_link_ref[i, 0]      # already remapped: -1 -> m
-            cluster = node_link_ref[i, 1]   # >= 0 iff leaf
+            ni = oct_id * m + i  # this tile's octant table (8*m rows)
+            bminx = node_box_ref[ni, 0]
+            bminy = node_box_ref[ni, 1]
+            bminz = node_box_ref[ni, 2]
+            bmaxx = node_box_ref[ni, 3]
+            bmaxy = node_box_ref[ni, 4]
+            bmaxz = node_box_ref[ni, 5]
+            skip = node_link_ref[ni, 0]     # already remapped: -1 -> m
+            cluster = node_link_ref[ni, 1]  # >= 0 iff leaf
         is_leaf = cluster >= 0
 
         node = node_s[:]
@@ -302,8 +324,9 @@ def _kernel(node_box_ref, node_link_ref, rays_ref, tri_ref, out_ref,
                      pick(jnp.broadcast_to(fnz, (k, t))),
                      pick(jnp.broadcast_to(matf, (k, t)))], axis=0)
                 attr_s[:] = jnp.where(improve, new_attr, attr_s[:])
-            if anyhit:
-                node_s[:] = jnp.where(improve, m, node_s[:])
+            # anyhit early-exit (runtime mode): a hit parks the lane at
+            # the done sentinel immediately
+            node_s[:] = jnp.where(improve & ah, m, node_s[:])
 
     if paged:
         _load_pages(jnp.int32(0))
@@ -409,23 +432,51 @@ def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
     rays = rays.reshape(8, n_tiles, tile).transpose(1, 0, 2) \
         .reshape(n_tiles * 8, tile)
 
-    paged = m > MAX_SMEM_NODES
-    node_box = jnp.concatenate([cb.node_min[:m], cb.node_max[:m]],
-                               axis=1)  # (m, 6) f32
-    skip = cb.node_skip[:m]
-    skip = jnp.where(skip < 0, m, skip)  # sentinel: done == m
-    node_link = jnp.stack([skip, cb.node_cluster[:m]], axis=1)  # (m, 2)
+    # per-tile direction octant (bit2=x<0, bit1=y<0, bit0=z<0, matching
+    # ray_sort_key's leading bits): the sort groups rays octant-major so
+    # a tile's FIRST ray speaks for the tile; unsorted callers still get
+    # correct results (any ordering is correct), just weaker culling.
+    oct_ray = ((d[:, 0] < 0).astype(jnp.int32) * 4
+               + (d[:, 1] < 0).astype(jnp.int32) * 2
+               + (d[:, 2] < 0).astype(jnp.int32))
+    octs = oct_ray.reshape(n_tiles, tile)[:, 0]
+    mode = jnp.full((1,), 1 if anyhit else 0, jnp.int32)
+
+    # 8 per-octant node tables (near-child-first threadings). Synthetic
+    # ClusterBvh tables built without _octant_orders (roofline chains)
+    # replicate the base ordering 8x so the kernel shape — and therefore
+    # the Mosaic module the calibration prices — is identical.
+    if cb.oct_min is not None:
+        o_min = cb.oct_min[:, :m]
+        o_max = cb.oct_max[:, :m]
+        o_skip = cb.oct_skip[:, :m]
+        o_cluster = cb.oct_cluster[:, :m]
+    else:
+        o_min = jnp.broadcast_to(cb.node_min[None, :m], (8, m, 3))
+        o_max = jnp.broadcast_to(cb.node_max[None, :m], (8, m, 3))
+        o_skip = jnp.broadcast_to(cb.node_skip[None, :m], (8, m))
+        o_cluster = jnp.broadcast_to(cb.node_cluster[None, :m], (8, m))
+    o_skip = jnp.where(o_skip < 0, m, o_skip)  # sentinel: done == m
+
+    # resident only while all 8 tables fit the empirical SMEM budget
+    paged = 8 * m > MAX_SMEM_NODES
+    node_box = jnp.concatenate([o_min, o_max], axis=2)  # (8, m, 6)
+    node_link = jnp.stack([o_skip, o_cluster], axis=2)  # (8, m, 2)
     m_pad = 0
     if paged:
-        # pad to whole pages; padding nodes are inert: degenerate box
-        # (bmin == bmax == BIG never enters), escape to done, not a leaf
+        # pad each octant to whole pages; padding nodes are inert:
+        # degenerate box (bmin == bmax == BIG never enters), escape to
+        # done, not a leaf
         m_pad = ((m + PAGE - 1) // PAGE) * PAGE
         node_box = jnp.concatenate(
-            [node_box, jnp.full((m_pad - m, 6), BIG, jnp.float32)], axis=0)
+            [node_box,
+             jnp.full((8, m_pad - m, 6), BIG, jnp.float32)], axis=1)
         pad_link = jnp.stack(
-            [jnp.full((m_pad - m,), m, jnp.int32),
-             jnp.full((m_pad - m,), -1, jnp.int32)], axis=1)
-        node_link = jnp.concatenate([node_link, pad_link], axis=0)
+            [jnp.full((8, m_pad - m), m, jnp.int32),
+             jnp.full((8, m_pad - m), -1, jnp.int32)], axis=2)
+        node_link = jnp.concatenate([node_link, pad_link], axis=1)
+    node_box = node_box.reshape(-1, 6)   # (8*m or 8*m_pad, 6)
+    node_link = node_link.reshape(-1, 2)
 
     # fused planar component table (10K, C), clusters on lanes:
     # rows [v0x v0y v0z | e1xyz | e2xyz | tri_idx] x K — a leaf visit
@@ -453,7 +504,7 @@ def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    kernel = partial(_kernel, m=m, c=c_pad, k=k, anyhit=anyhit,
+    kernel = partial(_kernel, m=m, c=c_pad, k=k,
                      paged=paged, m_pad=m_pad, unroll=unroll,
                      attrs=emit_attrs)
 
@@ -477,13 +528,15 @@ def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=node_space),
                   pl.BlockSpec(memory_space=node_space),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),  # mode (1,)
+                  pl.BlockSpec(memory_space=pltpu.SMEM),  # octs (n_tiles,)
                   ray_spec, tab_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * rows, tile),
                                        jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(node_box, node_link, rays, tri_tab)
+    )(node_box, node_link, mode, octs, rays, tri_tab)
 
     packed = packed.reshape(n_tiles, rows, tile)
 

@@ -509,18 +509,36 @@ def _sim_tile(tabs, o, d):
     return visited, entered_m, leaf_visits
 
 
-def _replay_tabs(cluster):
-    node_min = np.asarray(cluster.node_min, np.float64)
-    node_max = np.asarray(cluster.node_max, np.float64)
-    skip = np.asarray(cluster.node_skip)
-    ncl = np.asarray(cluster.node_cluster)
+def _replay_tabs(cluster, oct_id: int | None = None):
+    """Node + cluster tables for the numpy replay. With `oct_id` and a
+    cluster carrying octant orderings, returns THAT ordering's node
+    tables — the replay must walk the same threading the kernel picked
+    for the tile (round 5: per-tile direction-octant tables), or the
+    useful/executed comparison would mix orderings."""
     m = cluster.n_nodes
+    if oct_id is not None and cluster.oct_min is not None:
+        node_min = np.asarray(cluster.oct_min[oct_id], np.float64)
+        node_max = np.asarray(cluster.oct_max[oct_id], np.float64)
+        skip = np.asarray(cluster.oct_skip[oct_id])
+        ncl = np.asarray(cluster.oct_cluster[oct_id])
+    else:
+        node_min = np.asarray(cluster.node_min, np.float64)
+        node_max = np.asarray(cluster.node_max, np.float64)
+        skip = np.asarray(cluster.node_skip)
+        ncl = np.asarray(cluster.node_cluster)
     skip = np.where(skip < 0, m, skip)
     return (node_min, node_max, skip, ncl,
             np.asarray(cluster.v0, np.float64),
             np.asarray(cluster.e1, np.float64),
             np.asarray(cluster.e2, np.float64),
             np.asarray(cluster.tri_idx), m)
+
+
+def _tile_octant(d_tile: np.ndarray) -> int:
+    """Direction octant of a tile (first ray — tiles are octant-major
+    after the sort), matching ops/traverse_sweep's per-tile pick."""
+    d0 = d_tile[0]
+    return int((d0[0] < 0) * 4 + (d0[1] < 0) * 2 + (d0[2] < 0))
 
 
 def volume_efficiency(cluster, origin, direction, rates: dict | None = None,
@@ -566,8 +584,7 @@ def volume_efficiency(cluster, origin, direction, rates: dict | None = None,
     w_tile = np.asarray(r["exec_windows"], np.int64)
     l_tile = np.asarray(r["exec_leafs"], np.int64)
 
-    tabs = _replay_tabs(cluster)
-    is_leaf_node = tabs[3][:tabs[8]] >= 0
+    tabs_of = {None: _replay_tabs(cluster)}
     useful_nodes = useful_leafs = 0
     exec_subs = exec_leafs = 0
     # Accumulate useful AND executed work for the same tile set, or
@@ -580,6 +597,11 @@ def volume_efficiency(cluster, origin, direction, rates: dict | None = None,
     for t in pick:
         o = o_all[t * t_sz:(t + 1) * t_sz].astype(np.float64)
         d = d_all[t * t_sz:(t + 1) * t_sz].astype(np.float64)
+        oc = _tile_octant(d) if cluster.oct_min is not None else None
+        if oc not in tabs_of:
+            tabs_of[oc] = _replay_tabs(cluster, oc)
+        tabs = tabs_of[oc]
+        is_leaf_node = tabs[3][:tabs[8]] >= 0
         visited, entered, _lv = _sim_tile(tabs, o, d)
         uni = visited.any(axis=0)
         useful_nodes += int(uni.sum())
@@ -622,9 +644,7 @@ def walk_stats(cluster, origin, direction, max_tiles: int = 64) -> dict:
     stride = max(n_tiles // max_tiles, 1)
     pick = list(range(0, n_tiles, stride))[:max_tiles]
 
-    tabs = _replay_tabs(cluster)
-    ncl, m = tabs[3], tabs[8]
-    is_leaf_node = ncl[:m] >= 0  # node tables are padded past n_nodes
+    tabs_of = {None: _replay_tabs(cluster)}
     tile_steps = np.zeros(len(pick), np.int64)
     tile_leaf_steps = np.zeros(len(pick), np.int64)
     visits_sum = 0.0
@@ -633,6 +653,12 @@ def walk_stats(cluster, origin, direction, max_tiles: int = 64) -> dict:
     for j, t in enumerate(pick):
         o = o_all[t * TILE:(t + 1) * TILE].astype(np.float64)
         d = d_all[t * TILE:(t + 1) * TILE].astype(np.float64)
+        oc = _tile_octant(d) if cluster.oct_min is not None else None
+        if oc not in tabs_of:
+            tabs_of[oc] = _replay_tabs(cluster, oc)
+        tabs = tabs_of[oc]
+        ncl, m = tabs[3], tabs[8]
+        is_leaf_node = ncl[:m] >= 0  # node tables padded past n_nodes
         visited, _entered, leaf_visits = _sim_tile(tabs, o, d)
         uni = visited.any(axis=0)
         tile_steps[j] = int(uni.sum())
