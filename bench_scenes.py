@@ -57,6 +57,11 @@ def main(argv=None):
     p.add_argument("--out", default="bench_report.json")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--skip-sol", action="store_true")
+    p.add_argument("--sol-reps", type=int, default=5,
+                   help="independent calibration+attribution repeats; "
+                   "sol/vol metrics report the MEDIAN with IQR spread "
+                   "(VERDICT r4 weak #4: single-shot calibrations moved "
+                   "+-10 points between runs)")
     p.add_argument("--configs", default="",
                    help="comma-separated config names to (re)run; other "
                    "configs keep their entries from the existing --out "
@@ -262,40 +267,71 @@ def main(argv=None):
                                    o, d)
                 perm = jnp.argsort(key)
                 o, d = o[perm], d[perm]
+                # N independent calibration+attribution repeats: the
+                # published numbers are medians, with IQR spread so a
+                # "sol >= 80%" claim is checkable against its own noise
+                # band (VERDICT r4 weak #4: 80.1 vs 89.8 same-config
+                # single shots)
                 kc = (scene.cluster.k, scene.cluster.v0.shape[0])
-                if kc not in rates_cache:
-                    rates_cache[kc] = calibrate_sweep_rates(
-                        k=kc[0], c_pad=kc[1])
-                attr = sweep_attribution(scene.cluster, o, d,
-                                         rates=rates_cache[kc])
-                entry["traversal_mrays_per_s"] = round(
-                    attr["mrays_per_s"], 2)
-                entry["sol_pct"] = round(attr["sol_pct"], 1)
+                reps = max(1, args.sol_reps)
+                attrs, rate_runs = [], []
+                from dustraytracer_tpu.ops.traverse_sweep import UNROLL
+                from dustraytracer_tpu.utils.roofline import (
+                    volume_efficiency)
+                # the replay counts are deterministic — replay once,
+                # REPRICE per calibration repeat
+                vol0 = volume_efficiency(scene.cluster, o, d)
+                vols = []
+                for rep in range(reps):
+                    rates = calibrate_sweep_rates(k=kc[0], c_pad=kc[1])
+                    rate_runs.append(rates)
+                    attrs.append(sweep_attribution(scene.cluster, o, d,
+                                                   rates=rates))
+                    per_sub = rates["window_ns"] / UNROLL
+                    leaf_ns = rates.get("leaf_serial_ns",
+                                        rates["leaf_ns"])
+                    u_t = (vol0["useful_node_steps"] * per_sub
+                           + vol0["useful_leaf_steps"] * leaf_ns)
+                    e_t = (vol0["exec_node_substeps"] * per_sub
+                           + vol0["exec_leaf_substeps"] * leaf_ns)
+                    vols.append(dict(
+                        vol0, vol_eff_pct=100.0 * u_t / max(e_t, 1e-12)))
+
+                def med_iqr(vals):
+                    v = np.asarray(vals, np.float64)
+                    q1, q2, q3 = np.percentile(v, [25, 50, 75])
+                    return float(q2), float(q3 - q1)
+
+                def put(key, vals, nd=1):
+                    med, iqr = med_iqr(vals)
+                    entry[key] = round(med, nd)
+                    if reps > 1:
+                        entry[key + "_iqr"] = round(iqr, nd)
+
+                put("traversal_mrays_per_s",
+                    [a["mrays_per_s"] for a in attrs], 2)
+                put("sol_pct", [a["sol_pct"] for a in attrs])
                 # the UNCLIPPED ratio: >100 means the chain calibration
                 # overprices this wave's work mix — publishing it keeps
                 # the >=80% gate falsifiable (VERDICT r3 weak #3)
-                entry["sol_raw_pct"] = round(attr["sol_raw_pct"], 1)
-                entry["kernel_window_ns"] = round(
-                    rates_cache[kc]["window_ns"], 1)
-                entry["kernel_leaf_ns"] = round(
-                    rates_cache[kc]["leaf_ns"], 1)
+                put("sol_raw_pct", [a["sol_raw_pct"] for a in attrs])
+                put("kernel_window_ns",
+                    [r["window_ns"] for r in rate_runs])
+                put("kernel_leaf_ns", [r["leaf_ns"] for r in rate_runs])
+                entry["sol_reps"] = reps
                 entry["exec_windows_per_tile"] = round(
-                    attr["windows_per_tile"], 2)
+                    attrs[0]["windows_per_tile"], 2)
                 entry["exec_leafs_per_tile"] = round(
-                    attr["leafs_per_tile"], 2)
-                entry["leaf_share_pct"] = round(
-                    attr["leaf_share_pct"], 1)
+                    attrs[0]["leafs_per_tile"], 2)
+                put("leaf_share_pct",
+                    [a["leaf_share_pct"] for a in attrs])
                 # useful/executed WORK VOLUME (VERDICT r3 missing #3):
                 # sol_pct certifies the rate, this certifies the amount
-                from dustraytracer_tpu.utils.roofline import (
-                    volume_efficiency)
-                vol = volume_efficiency(scene.cluster, o, d,
-                                        rates=rates_cache[kc])
-                entry["vol_eff_pct"] = round(vol["vol_eff_pct"], 1)
-                entry["vol_eff_window_pct"] = round(
-                    vol["vol_eff_window_pct"], 1)
-                entry["vol_eff_leaf_pct"] = round(
-                    vol["vol_eff_leaf_pct"], 1)
+                put("vol_eff_pct", [v["vol_eff_pct"] for v in vols])
+                put("vol_eff_window_pct",
+                    [v["vol_eff_window_pct"] for v in vols])
+                put("vol_eff_leaf_pct",
+                    [v["vol_eff_leaf_pct"] for v in vols])
         except Exception as e:
             entry["error"] = f"{type(e).__name__}: {e}"[:200]
         report["configs"].append(entry)

@@ -84,11 +84,21 @@ PAGE = 512
 # so processing i, i+1, ..., i+U-1 sequentially inside one iteration is
 # exactly the original walk.
 UNROLL = 4
+# leaf intersection form: "dual" moves the six per-(K, T) ray dot
+# products onto the MXU via precomputed dual-basis plane rows (see
+# _kernel._leaf) — measured SLOWER on v5e (suzanne 108 -> 49 Mrays/s,
+# results/leaf_form_bench.json): the (3K, 3) x (3, T) contractions pay
+# Mosaic relayouts + a 3-deep systolic pass that wastes the MXU, and
+# HIGHEST precision multiplies the passes. Kept as a documented
+# negative result / A/B hook (tools/bench_leaf_form.py); "mt" is the
+# Möller–Trumbore VPU form and the default.
+LEAF_FORM = "mt"
 
 
 def _kernel(node_box_ref, node_link_ref, mode_ref, octs_ref, rays_ref,
             tri_ref, out_ref, node_s, t_s, idx_s, vis_s, cnt_s, *extra,
-            m, c, k, paged=False, m_pad=0, unroll=UNROLL, attrs=False):
+            m, c, k, paged=False, m_pad=0, unroll=UNROLL, attrs=False,
+            leaf=None):
     if attrs:
         attr_s, *paging = extra
     else:
@@ -257,30 +267,69 @@ def _kernel(node_box_ref, node_link_ref, mode_ref, octs_ref, rays_ref,
             rows = jax.lax.dot_general(
                 tri_ref[:], oh, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)  # (10K or 20K, 1)
-            v0x, v0y, v0z = rows[0:k], rows[k:2 * k], rows[2 * k:3 * k]
-            e1x, e1y, e1z = (rows[3 * k:4 * k], rows[4 * k:5 * k],
-                             rows[5 * k:6 * k])
-            e2x, e2y, e2z = (rows[6 * k:7 * k], rows[7 * k:8 * k],
-                             rows[8 * k:9 * k])
-            tri_id = rows[9 * k:10 * k].astype(jnp.int32)  # (K, 1)
+                preferred_element_type=jnp.float32)  # (R*K, 1)
+            if leaf == "dual":
+                # --- dual-basis plane form (round 5): per triangle the
+                # table carries [n | w_u | w_v | n.v0 | w_u.v0 | w_v.v0]
+                # (w_u, w_v = the dual basis of (e1, e2) in the triangle
+                # plane), so the six (K, T) ray dot products become TWO
+                # (3K, 3) x (3, T) MXU contractions and the VPU tail is
+                # ~15 ops instead of Möller–Trumbore's ~50. n.d equals
+                # -det(MT), so the parallel-reject epsilon is unchanged.
+                tri_id = rows[12 * k:13 * k].astype(jnp.int32)
+                lhs = jnp.concatenate(
+                    [jnp.concatenate([rows[0:k], rows[3 * k:4 * k],
+                                      rows[6 * k:7 * k]], axis=0),
+                     jnp.concatenate([rows[k:2 * k], rows[4 * k:5 * k],
+                                      rows[7 * k:8 * k]], axis=0),
+                     jnp.concatenate([rows[2 * k:3 * k],
+                                      rows[5 * k:6 * k],
+                                      rows[8 * k:9 * k]], axis=0)],
+                    axis=1)  # (3K, 3): [n; w_u; w_v] per component
+                cn = rows[9 * k:10 * k]
+                cu0 = rows[10 * k:11 * k]
+                cv0 = rows[11 * k:12 * k]
+                dmat = jnp.concatenate([dx, dy, dz], axis=0)  # (3, T)
+                omat = jnp.concatenate([ox, oy, oz], axis=0)
+                pd = jax.lax.dot_general(
+                    lhs, dmat, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)  # (3K, T)
+                po = jax.lax.dot_general(
+                    lhs, omat, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                nd, wud, wvd = pd[0:k], pd[k:2 * k], pd[2 * k:3 * k]
+                no, wuo, wvo = po[0:k], po[k:2 * k], po[2 * k:3 * k]
+                par = jnp.abs(nd) < 1e-6
+                inv_det = 1.0 / jnp.where(par, 1.0, nd)
+                tt = (cn - no) * inv_det
+                u = wuo + tt * wud - cu0
+                v = wvo + tt * wvd - cv0
+            else:
+                v0x, v0y, v0z = rows[0:k], rows[k:2 * k], rows[2 * k:3 * k]
+                e1x, e1y, e1z = (rows[3 * k:4 * k], rows[4 * k:5 * k],
+                                 rows[5 * k:6 * k])
+                e2x, e2y, e2z = (rows[6 * k:7 * k], rows[7 * k:8 * k],
+                                 rows[8 * k:9 * k])
+                tri_id = rows[9 * k:10 * k].astype(jnp.int32)  # (K, 1)
 
-            # Möller–Trumbore, (K, 1) x (1, T) -> (K, T)
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            par = jnp.abs(det) < 1e-6
-            inv_det = 1.0 / jnp.where(par, 1.0, det)
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
-            u = inv_det * (tvx * px + tvy * py + tvz * pz)
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            v = inv_det * (dx * qx + dy * qy + dz * qz)
-            tt = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+                # Möller–Trumbore, (K, 1) x (1, T) -> (K, T)
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                par = jnp.abs(det) < 1e-6
+                inv_det = 1.0 / jnp.where(par, 1.0, det)
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                u = inv_det * (tvx * px + tvy * py + tvz * pz)
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                v = inv_det * (dx * qx + dy * qy + dz * qz)
+                tt = inv_det * (e2x * qx + e2y * qy + e2z * qz)
             cur_t = t_s[:]
             valid = (~par) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
                 & (u + v <= 1.0) & (tt > 1e-6) & (tri_id >= 0)
@@ -302,12 +351,16 @@ def _kernel(node_box_ref, node_link_ref, mode_ref, octs_ref, rays_ref,
                 # normal and material id — one masked K-reduce per
                 # channel, paid per leaf EXECUTED, vs an O(rays x tris)
                 # one-hot fetch per shade site on the wavefront.
-                uv0x, uv0y = rows[10 * k:11 * k], rows[11 * k:12 * k]
-                uv1x, uv1y = rows[12 * k:13 * k], rows[13 * k:14 * k]
-                uv2x, uv2y = rows[14 * k:15 * k], rows[15 * k:16 * k]
-                fnx, fny, fnz = (rows[16 * k:17 * k], rows[17 * k:18 * k],
-                                 rows[18 * k:19 * k])
-                matf = rows[19 * k:20 * k]
+                ab = (13 if leaf == "dual" else 10) * k  # attr row base
+                uv0x, uv0y = rows[ab:ab + k], rows[ab + k:ab + 2 * k]
+                uv1x, uv1y = (rows[ab + 2 * k:ab + 3 * k],
+                              rows[ab + 3 * k:ab + 4 * k])
+                uv2x, uv2y = (rows[ab + 4 * k:ab + 5 * k],
+                              rows[ab + 5 * k:ab + 6 * k])
+                fnx, fny, fnz = (rows[ab + 6 * k:ab + 7 * k],
+                                 rows[ab + 7 * k:ab + 8 * k],
+                                 rows[ab + 8 * k:ab + 9 * k])
+                matf = rows[ab + 9 * k:ab + 10 * k]
                 sel = is_best & (tri_id == best_id)  # exactly one per lane
                 wb = 1.0 - u - v
                 uvx = wb * uv0x + u * uv1x + v * uv2x
@@ -353,12 +406,12 @@ _OPAQUE_CACHE = {}
 
 
 def _opaque(anyhit: bool, interpret: bool, tile: int, unroll: int,
-            emit_attrs: bool):
+            emit_attrs: bool, leaf_form: str):
     """custom_vjp wrapper: discrete selector, zero cotangents (same
     contract as traverse_pallas — callers differentiate recomputed hit
     attributes, never the kernel; emitted shading attributes are
     likewise stop-gradient by construction)."""
-    key = (anyhit, interpret, tile, unroll, emit_attrs)
+    key = (anyhit, interpret, tile, unroll, emit_attrs, leaf_form)
     if key in _OPAQUE_CACHE:
         return _OPAQUE_CACHE[key]
 
@@ -367,7 +420,7 @@ def _opaque(anyhit: bool, interpret: bool, tile: int, unroll: int,
         return _traverse_impl(cb, origin, direction, t_max,
                               anyhit=anyhit, interpret=interpret,
                               tile=tile, unroll=unroll,
-                              emit_attrs=emit_attrs)
+                              emit_attrs=emit_attrs, leaf_form=leaf_form)
 
     def fwd(cb, origin, direction, t_max):
         shapes = jax.tree.map(
@@ -386,7 +439,8 @@ def _opaque(anyhit: bool, interpret: bool, tile: int, unroll: int,
 def traverse_cluster_sweep(cb: ClusterBvh, origin, direction, *,
                            anyhit: bool = False, t_max=None,
                            interpret: bool = False, tile: int = None,
-                           unroll: int = None, emit_attrs: bool = False):
+                           unroll: int = None, emit_attrs: bool = False,
+                           leaf_form: str = None):
     """Min-sweep kernel traversal; same results as traverse_cluster.
 
     Opaque to autodiff (zero gradients — discrete selector contract).
@@ -405,13 +459,14 @@ def traverse_cluster_sweep(cb: ClusterBvh, origin, direction, *,
         raise ValueError("emit_attrs requires attribute tables "
                          "(build_cluster_bvh uv/face_nrm/mat)")
     return _opaque(anyhit, interpret, tile or TILE,
-                   unroll or UNROLL, emit_attrs)(cb, origin, direction,
-                                                 t_max)
+                   unroll or UNROLL, emit_attrs,
+                   leaf_form or LEAF_FORM)(cb, origin, direction, t_max)
 
 
 def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
                    *, anyhit: bool, interpret: bool, tile: int = TILE,
-                   unroll: int = UNROLL, emit_attrs: bool = False):
+                   unroll: int = UNROLL, emit_attrs: bool = False,
+                   leaf_form: str = "dual"):
     n = origin.shape[0]
     m = cb.n_nodes
     k = cb.k
@@ -486,8 +541,26 @@ def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
         return jnp.concatenate([a[..., 0], a[..., 1], a[..., 2]],
                                axis=1).T
 
-    parts = [plane_T(cb.v0), plane_T(cb.e1), plane_T(cb.e2),
-             cb.tri_idx.astype(jnp.float32).T]
+    if leaf_form == "dual":
+        # dual-basis plane rows, derived from the (refit-able) v0/e1/e2
+        # tables at trace time: n = e1 x e2; w_u, w_v = the dual basis
+        # of (e1, e2) in the plane (w_u.e1 = 1, w_u.e2 = 0, ...);
+        # degenerate padding rows collapse to all-zero -> n.d == 0 ->
+        # parallel-rejected in the kernel (plus tri_idx == -1).
+        nvec = jnp.cross(cb.e1, cb.e2)  # (C, K, 3)
+        nn = jnp.sum(nvec * nvec, axis=-1, keepdims=True)
+        good = nn > 1e-30
+        inv_nn = jnp.where(good, 1.0 / jnp.where(good, nn, 1.0), 0.0)
+        wu = jnp.cross(cb.e2, nvec) * inv_nn
+        wv = jnp.cross(nvec, cb.e1) * inv_nn
+        parts = [plane_T(nvec), plane_T(wu), plane_T(wv),
+                 jnp.sum(nvec * cb.v0, axis=-1).T,
+                 jnp.sum(wu * cb.v0, axis=-1).T,
+                 jnp.sum(wv * cb.v0, axis=-1).T,
+                 cb.tri_idx.astype(jnp.float32).T]
+    else:
+        parts = [plane_T(cb.v0), plane_T(cb.e1), plane_T(cb.e2),
+                 cb.tri_idx.astype(jnp.float32).T]
     if emit_attrs:
         uv = cb.uv
         parts += [uv[..., 0, 0].T, uv[..., 0, 1].T,
@@ -506,7 +579,7 @@ def _traverse_impl(cb: ClusterBvh, origin, direction, t_max,
 
     kernel = partial(_kernel, m=m, c=c_pad, k=k,
                      paged=paged, m_pad=m_pad, unroll=unroll,
-                     attrs=emit_attrs)
+                     attrs=emit_attrs, leaf=leaf_form)
 
     node_space = pl.ANY if paged else pltpu.SMEM
     scratch = [pltpu.VMEM((1, tile), jnp.int32),

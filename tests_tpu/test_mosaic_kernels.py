@@ -35,7 +35,8 @@ MODELS = "/root/reference/models"
 def soup():
     scene = build_scene(make_random_tri_doc(2000, seed=5), use_native=False)
     cb = build_cluster_bvh(np.asarray(scene.tri_pos), k=64)
-    assert cb.n_nodes <= traverse_sweep.MAX_SMEM_NODES  # resident mode
+    # resident mode budget covers all 8 octant orderings (round 5)
+    assert 8 * cb.n_nodes <= traverse_sweep.MAX_SMEM_NODES
     return scene, cb
 
 
@@ -48,6 +49,9 @@ def _rays(n, seed, spread=12.0):
 
 
 def _assert_equiv(res, ref, t_rtol=1e-4, visits_exact=True):
+    """visits_exact: True = bit-equal, False = cull-boundary envelope,
+    None = skip visit comparison (different ORDERINGS legitimately
+    visit different node sets — round-5 octant tables)."""
     hi, href = np.asarray(res["hit_idx"]), np.asarray(ref["hit_idx"])
     np.testing.assert_array_equal(hi >= 0, href >= 0)
     m = href >= 0
@@ -57,6 +61,8 @@ def _assert_equiv(res, ref, t_rtol=1e-4, visits_exact=True):
         f"id mismatch {(hi[m] != href[m]).sum()} of {m.sum()}"
     np.testing.assert_allclose(np.asarray(res["t"])[m],
                                np.asarray(ref["t"])[m], rtol=t_rtol)
+    if visits_exact is None:
+        return
     v, vref = np.asarray(res["visits"]), np.asarray(ref["visits"])
     if visits_exact:
         np.testing.assert_array_equal(v, vref)
@@ -76,13 +82,33 @@ def _assert_equiv(res, ref, t_rtol=1e-4, visits_exact=True):
 
 
 def test_sweep_resident_matches_cluster_walk(soup):
-    """Compiled resident-mode kernel == XLA cluster walk, bit-level ids
-    and visit counts, on an incoherent ray soup."""
+    """Compiled resident-mode kernel == XLA cluster walk on an
+    incoherent ray soup.
+
+    Two comparisons since round 5's per-tile octant orderings:
+    - base-ordering kernel (octant tables stripped -> the impl
+      replicates the base threading 8x): bit-level ids AND visit
+      counts against the walk, the original gate;
+    - full octant-ordered kernel: identical hits/t; visits drop on
+      average (that is the point of near-first ordering: more culls)."""
+    import dataclasses
+
     _scene, cb = soup
     o, d = _rays(4096, 7)
-    res = traverse_cluster_sweep(cb, o, d)
+    cb_base = dataclasses.replace(cb, oct_min=None, oct_max=None,
+                                  oct_skip=None, oct_cluster=None,
+                                  oct_perm0=None)
+    res = traverse_cluster_sweep(cb_base, o, d)
     ref = traverse_cluster(cb, o, d)
     _assert_equiv(res, ref)
+
+    res_oct = traverse_cluster_sweep(cb, o, d)
+    _assert_equiv(res_oct, ref, visits_exact=None)
+    v_oct = np.asarray(res_oct["visits"]).mean()
+    v_base = np.asarray(ref["visits"]).mean()
+    assert v_oct <= v_base * 1.05, (
+        f"octant ordering should not add visits on average "
+        f"({v_oct:.2f} vs base {v_base:.2f})")
 
 
 def test_sweep_anyhit_matches_cluster_walk(soup):
@@ -134,7 +160,9 @@ def test_sweep_natural_paged_katana():
     o, d = jnp.asarray(o), jnp.asarray(d)
     res = traverse_cluster_sweep(cb, o, d)
     ref = traverse_cluster(cb, o, d)
-    _assert_equiv(res, ref, visits_exact=False)
+    # visits: the octant-ordered kernel walks a different threading than
+    # the base-ordering XLA walk — only hits/t are comparable
+    _assert_equiv(res, ref, visits_exact=None)
     assert int(np.sum(np.asarray(res["hit_idx"]) >= 0)) > 100  # non-trivial
 
 

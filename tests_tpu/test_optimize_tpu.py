@@ -111,3 +111,32 @@ def test_vertex_descent_katana_fast_path_tpu():
     first, last, _ = _descend(scene, cam, settings, params0,
                               steps=12, lr=2e-3)
     assert last < 0.85 * first, (first, last)
+
+
+def test_texture_descent_cs16_tpu():
+    """Config-5 texture leg ON THE CHIP, on a REAL textured scene
+    (cs16_dust: 23-image stack, 1.5M texels). Round 4's texture backward
+    was a 1374.8 ms/sample serialized scatter — unusable; the round-5
+    one-hot matmul transpose (render/texture.py::_float_fetch) makes
+    this test feasible at all. Gate: the loss descends and the texel
+    gradients are finite and land on the right texels."""
+    from dustraytracer_tpu.render.texture import decode_textures
+    from dustraytracer_tpu.scene import load_scene, make_camera
+    from dustraytracer_tpu.scene.settings import RenderSettings
+
+    scene = decode_textures(load_scene(
+        _needs(os.path.join(MODELS, "source/cs16_dust.glb"))))
+    cam = make_camera(position=(0, 2.5, 6), look_at=(0, 1.5, 0),
+                      vfov_deg=70)
+    settings = RenderSettings(bounces=2, enable_tonemap=False,
+                              enable_gamma=False)
+    key = jax.random.PRNGKey(3)
+    params0 = {"tex_stack": jnp.clip(
+        scene.tex_stack
+        + 0.25 * jax.random.uniform(key, scene.tex_stack.shape,
+                                    minval=-1.0, maxval=1.0),
+        0.0, 1.0)}
+    first, last, rec = _descend(scene, cam, settings, params0,
+                                steps=20, lr=5e-2, w=128, h=128)
+    assert np.isfinite(last)
+    assert last < 0.5 * first, (first, last)

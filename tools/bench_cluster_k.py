@@ -1,10 +1,18 @@
-"""Sweep cluster size K for the min-sweep traversal kernel.
+"""Sweep cluster size K (and optionally TILE) for the min-sweep kernel.
 
-Leaf visits cost one one-hot matvec each (latency-bound); bigger K
-halves the visit count at constant total table size. Measures sorted
-primary-wave traversal throughput per scene per K.
+A leaf substep costs one one-hot matvec (cheap, MXU) plus a (K, TILE)
+Möller–Trumbore block on the VPU — the dominant term for dense scenes
+(VERDICT r4: cs16 99.3% leaf share). Smaller K trims dead MT lanes per
+visit but multiplies visits; this sweep measures the real trade on-chip
+with each scene's bench camera and octant-ordered traversal.
+
+Usage: python tools/bench_cluster_k.py [--ks 16,32,64,128]
+       [--tiles 2048] [--scenes suzanne,dense_monkey,cs16_dust,katana]
+Writes results/cluster_k_sweep.json.
 """
 
+import argparse
+import json
 import os
 import sys
 import time
@@ -15,51 +23,75 @@ import jax
 import jax.numpy as jnp
 
 SCENES = {
-    "suzanne": ("/root/reference/models/suzanne_plane.glb", 512),
-    "dense_monkey": ("/root/reference/models/dense_monkey.glb", 1024),
-    "cs16_dust": ("/root/reference/models/source/cs16_dust.glb", 512),
+    "suzanne": "suzanne_plane.glb",
+    "dense_monkey": "dense_monkey.glb",
+    "cs16_dust": "source/cs16_dust.glb",
+    "katana": "valorant_katana.glb",
 }
+SIZE = 512
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ks", default="16,32,64,128")
+    ap.add_argument("--tiles", default="2048")
+    ap.add_argument("--scenes", default="dense_monkey,cs16_dust,katana")
+    args = ap.parse_args()
+
+    from bench_scenes import CAMERAS
     from dustraytracer_tpu.ops.rng import seed_pixels
     from dustraytracer_tpu.ops.traverse_sweep import traverse_cluster_sweep
-    from dustraytracer_tpu.render.integrator import ray_sort_key
+    from dustraytracer_tpu.render.integrator import _sorted_tracers
     from dustraytracer_tpu.scene import load_scene, make_camera
     from dustraytracer_tpu.scene.camera import generate_rays
+    from dustraytracer_tpu.utils.roofline import device_seconds_per_call
 
-    camera = make_camera(position=(0, 1.5, 5), look_at=(0, 0.5, 0),
-                         vfov_deg=45.0)
-    for name, (path, size) in SCENES.items():
-        n = size * size
-        ids = jnp.arange(n, dtype=jnp.int32)
-        for k in (32, 64, 128):
+    rows = []
+    n = SIZE * SIZE
+    ids = jnp.arange(n, dtype=jnp.int32)
+    for sname in args.scenes.split(","):
+        path = f"/root/reference/models/{SCENES[sname]}"
+        rel = os.path.relpath(path, "/root/reference/models")
+        campos = CAMERAS.get(rel, dict(position=(0, 1.5, 5),
+                                       look_at=(0, 0.5, 0), vfov_deg=45.0))
+        camera = make_camera(**campos)
+        for k in [int(x) for x in args.ks.split(",")]:
             scene = load_scene(path, cluster_k=k)
             rng = seed_pixels(ids.astype(jnp.uint32), jnp.uint32(0))
-            _rng, o, d = generate_rays(camera, size, size, rng,
+            _rng, o, d = generate_rays(camera, SIZE, SIZE, rng,
                                        pixel_ids=ids)
-            key = ray_sort_key(scene.node_min[0], scene.node_max[0], o, d)
-            r = jax.lax.sort((key, o[:, 0], o[:, 1], o[:, 2],
-                              d[:, 0], d[:, 1], d[:, 2]),
-                             dimension=0, num_keys=1)
-            o = jnp.stack(r[1:4], axis=-1)
-            d = jnp.stack(r[4:7], axis=-1)
-            trav = jax.jit(lambda o, d, cb=scene.cluster: jnp.sum(
-                traverse_cluster_sweep(cb, o, d)["t"]))
-            t0 = time.perf_counter()
-            float(trav(o, d))
-            comp = time.perf_counter() - t0
-            float(trav(o, d))
-            t0 = time.perf_counter()
-            reps = 5
-            for _ in range(reps):
-                out = trav(o, d)
-            float(out)
-            dt = (time.perf_counter() - t0) / reps
-            print(f"{name:14s} k={k:4d} nodes={scene.cluster.n_nodes:5d} "
-                  f"clusters={scene.cluster.v0.shape[0]:5d} "
-                  f"{n/dt/1e6:7.2f} Mrays/s  (compile {comp:.0f}s)",
-                  flush=True)
+            o, d = jax.block_until_ready((o, d))
+            for tile in [int(x) for x in args.tiles.split(",")]:
+                closest, _ = _sorted_tracers(
+                    scene,
+                    lambda oo, dd, cb=scene.cluster, t=tile:
+                        traverse_cluster_sweep(cb, oo, dd, tile=t),
+                    lambda oo, dd, cb=scene.cluster, t=tile:
+                        traverse_cluster_sweep(cb, oo, dd, anyhit=True,
+                                               tile=t)["hit_idx"] >= 0)
+                t0 = time.perf_counter()
+                try:
+                    sec = device_seconds_per_call(
+                        lambda i: jnp.sum(
+                            closest(o + jnp.float32(i) * 1e-6, d)["t"]))
+                except Exception as e:
+                    print(f"{sname} k={k} tile={tile}: FAILED {e}",
+                          flush=True)
+                    continue
+                row = {
+                    "scene": sname, "k": k, "tile": tile,
+                    "nodes": scene.cluster.n_nodes,
+                    "clusters": scene.cluster.n_clusters,
+                    "closest_sorted_ms": round(sec * 1e3, 2),
+                    "mrays_per_s": round(n / sec / 1e6, 2),
+                    "wall_s": round(time.perf_counter() - t0, 1),
+                }
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+
+    os.makedirs("results", exist_ok=True)
+    with open("results/cluster_k_sweep.json", "w") as f:
+        json.dump(rows, f, indent=2)
 
 
 if __name__ == "__main__":
