@@ -171,8 +171,11 @@ def main():
         perm = jnp.argsort(key)
         o, d = o[perm], d[perm]
 
+        from dustraytracer_tpu.ops.traverse_sweep import auto_tile
+
         rates = calibrate_sweep_rates(k=scene.cluster.k,
-                                      c_pad=scene.cluster.v0.shape[0])
+                                      c_pad=scene.cluster.v0.shape[0],
+                                      tile=auto_tile(scene.cluster))
         attr = sweep_attribution(scene.cluster, o, d, rates=rates)
         result.update({
             "traversal_mrays_per_s": round(attr["mrays_per_s"], 2),

@@ -275,15 +275,18 @@ def main(argv=None):
                 kc = (scene.cluster.k, scene.cluster.v0.shape[0])
                 reps = max(1, args.sol_reps)
                 attrs, rate_runs = [], []
-                from dustraytracer_tpu.ops.traverse_sweep import UNROLL
+                from dustraytracer_tpu.ops.traverse_sweep import (
+                    UNROLL, auto_tile)
                 from dustraytracer_tpu.utils.roofline import (
                     volume_efficiency)
+                sc_tile = auto_tile(scene.cluster)
                 # the replay counts are deterministic — replay once,
                 # REPRICE per calibration repeat
                 vol0 = volume_efficiency(scene.cluster, o, d)
                 vols = []
                 for rep in range(reps):
-                    rates = calibrate_sweep_rates(k=kc[0], c_pad=kc[1])
+                    rates = calibrate_sweep_rates(k=kc[0], c_pad=kc[1],
+                                                  tile=sc_tile)
                     rate_runs.append(rates)
                     attrs.append(sweep_attribution(scene.cluster, o, d,
                                                    rates=rates))

@@ -436,6 +436,19 @@ def _opaque(anyhit: bool, interpret: bool, tile: int, unroll: int,
     return run
 
 
+def auto_tile(cb: ClusterBvh) -> int:
+    """Ray-tile size for a scene's cluster tables (round-5 K x TILE
+    grid, results/cluster_k_sweep.json + tile_sweep logs): 4096-lane
+    tiles WITH K<=32 clusters win on every bundled scene (suzanne
+    108 -> 141.6, cs16 23.7 -> 32.7, dense_monkey 28.8 -> 29.9, katana
+    34.0 -> 40.8 Mrays/s) — the per-leaf fixed cost amortizes over more
+    lanes faster than the per-tile node union grows, and (32, 4096)
+    f32 Möller–Trumbore blocks still fit VMEM where (64, 4096) spills
+    (katana collapsed to 12.96). K=64 tables keep 2048. The K side of
+    the rule lives in scene.build_scene (cluster_k='auto')."""
+    return 4096 if cb.k <= 32 else TILE
+
+
 def traverse_cluster_sweep(cb: ClusterBvh, origin, direction, *,
                            anyhit: bool = False, t_max=None,
                            interpret: bool = False, tile: int = None,
@@ -458,7 +471,7 @@ def traverse_cluster_sweep(cb: ClusterBvh, origin, direction, *,
     if emit_attrs and cb.uv is None:
         raise ValueError("emit_attrs requires attribute tables "
                          "(build_cluster_bvh uv/face_nrm/mat)")
-    return _opaque(anyhit, interpret, tile or TILE,
+    return _opaque(anyhit, interpret, tile or auto_tile(cb),
                    unroll or UNROLL, emit_attrs,
                    leaf_form or LEAF_FORM)(cb, origin, direction, t_max)
 

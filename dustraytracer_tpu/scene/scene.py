@@ -174,7 +174,7 @@ def _face_normals(pos: np.ndarray, nrm: np.ndarray) -> np.ndarray:
 
 def build_scene(doc: GltfDocument, leaf_target: int = MAX_LEAF,
                 bins: int = 16, use_native: bool = True,
-                cluster_k: int | None = 64) -> Scene:
+                cluster_k="auto") -> Scene:
     """Flatten a GltfDocument into a Scene: triangle soup, BVH, materials,
     texture stack. BVH construction reorders the soup so leaves reference
     contiguous ranges (same strategy as `BVHBuilder.cu:175-214`)."""
@@ -262,6 +262,16 @@ def build_scene(doc: GltfDocument, leaf_target: int = MAX_LEAF,
         has_alpha = np.zeros(1, bool)
 
     cluster = None
+    if cluster_k == "auto":
+        # round-5 K x TILE grid (results/cluster_k_sweep.json + tile
+        # sweep logs): K=32 clusters + 4096-lane tiles win on EVERY
+        # bundled scene — suzanne 108 -> 141.6, cs16 23.7 -> 32.7,
+        # dense_monkey 28.8 -> 29.9, katana 34.0 -> 40.8 Mrays/s. The
+        # interaction matters: K=64 at 4096 lanes collapses (katana
+        # 12.96 — (64, 4096) f32 Möller–Trumbore intermediates are 1 MB
+        # each and spill VMEM), and K=32 at 2048 lanes underuses the
+        # VPU. The tile side lives in ops/traverse_sweep.auto_tile.
+        cluster_k = 32
     if cluster_k:
         from dustraytracer_tpu.accel.cluster import build_cluster_bvh
 

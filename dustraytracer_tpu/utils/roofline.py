@@ -302,7 +302,8 @@ def sweep_attribution(cb, origin, direction, rates: dict | None = None,
     l_tile = np.asarray(r["exec_leafs"], np.int64)
     W = int(w_tile.sum())
     L = int(l_tile.sum())
-    n_tiles = -(-n // (tile or TILE))
+    from dustraytracer_tpu.ops.traverse_sweep import auto_tile
+    n_tiles = -(-n // (tile or auto_tile(cb)))
     out = {"measured_s": t, "mrays_per_s": n / t / 1e6,
            "exec_windows": W, "exec_leafs": L, "n_tiles": n_tiles,
            "windows_per_tile": W / n_tiles, "leafs_per_tile": L / n_tiles}
@@ -565,10 +566,12 @@ def volume_efficiency(cluster, origin, direction, rates: dict | None = None,
     import jax
     import jax.numpy as jnp
 
-    from dustraytracer_tpu.ops.traverse_sweep import (UNROLL,
+    from dustraytracer_tpu.ops.traverse_sweep import (UNROLL, auto_tile,
                                                       traverse_cluster_sweep)
 
-    t_sz = tile or TILE
+    # the slicing tile MUST match the kernel's (auto) tiling or the
+    # per-tile counters would be paired with the wrong replay tiles
+    t_sz = tile or auto_tile(cluster)
     o_all = np.asarray(origin, np.float32)
     d_all = np.asarray(direction, np.float32)
     o_all, d_all = _sorted_rays(cluster, o_all, d_all)
@@ -639,8 +642,10 @@ def walk_stats(cluster, origin, direction, max_tiles: int = 64) -> dict:
     o_all = np.asarray(origin, np.float32)
     d_all = np.asarray(direction, np.float32)
     o_all, d_all = _sorted_rays(cluster, o_all, d_all)
+    from dustraytracer_tpu.ops.traverse_sweep import auto_tile
+    t_sz = auto_tile(cluster)
     n = o_all.shape[0]
-    n_tiles = max(n // TILE, 1)
+    n_tiles = max(n // t_sz, 1)
     stride = max(n_tiles // max_tiles, 1)
     pick = list(range(0, n_tiles, stride))[:max_tiles]
 
@@ -651,8 +656,8 @@ def walk_stats(cluster, origin, direction, max_tiles: int = 64) -> dict:
     leaf_sum = 0.0
     n_sim = 0
     for j, t in enumerate(pick):
-        o = o_all[t * TILE:(t + 1) * TILE].astype(np.float64)
-        d = d_all[t * TILE:(t + 1) * TILE].astype(np.float64)
+        o = o_all[t * t_sz:(t + 1) * t_sz].astype(np.float64)
+        d = d_all[t * t_sz:(t + 1) * t_sz].astype(np.float64)
         oc = _tile_octant(d) if cluster.oct_min is not None else None
         if oc not in tabs_of:
             tabs_of[oc] = _replay_tabs(cluster, oc)
