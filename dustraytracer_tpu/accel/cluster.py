@@ -55,12 +55,19 @@ class ClusterBvh:
     n_clusters: int = field(metadata=dict(static=True), default=0)
     k: int = field(metadata=dict(static=True), default=CLUSTER_K)
 
-    # static refit plan: subtree_mask[i, c] == True iff ORIGINAL cluster
-    # c lies in node i's subtree. Lets refit_cluster_bvh re-derive every
-    # node AABB from live vertices with fixed topology (vertex
-    # optimization on the fast kernel path). None for synthetic tables
+    # static refit plan (refit_cluster_bvh): every node covers a
+    # CONTIGUOUS range of the tree-ordered clusters, so node AABBs are
+    # O(1) range-min/max queries against a sparse table of power-of-two
+    # window reductions over per-cluster boxes (same scheme as
+    # accel/bvh.refit_plan; replaced the round-4 (m, C) subtree mask
+    # whose masked reduction dominated vertex-step compile+run time).
+    # cl_perm = cluster order in the tree; refit_a/refit_b = flat
+    # (levels * C)-table indices per node. None for synthetic tables
     # that never refit (roofline chains).
-    subtree_mask: jax.Array | None = None
+    cl_perm: jax.Array | None = None    # (C,) i32
+    refit_a: jax.Array | None = None    # (n_nodes,) i32
+    refit_b: jax.Array | None = None    # (n_nodes,) i32
+    refit_levels: int = field(metadata=dict(static=True), default=0)
 
     # optional shading-attribute tables (same cluster-major layout).
     # When present, the sweep kernel emits the winning hit's
@@ -213,27 +220,15 @@ def build_cluster_bvh(tri_pos: np.ndarray, k: int = CLUSTER_K,
     # node_first index into the permuted cluster order)
     node_cluster[:m][leaf] = bvh.perm[bvh.node_first[:m][leaf]].astype(np.int32)
 
-    # --- static refit plan (refit_cluster_bvh) ---
-    # Pre-order subtree = contiguous node range; its leaves cover a
-    # contiguous range of the PERMUTED cluster order. Reverse pass:
-    # children (at higher indices) are resolved before their parent;
-    # internal node i has left child i+1 and right child skip[i+1].
-    lo = np.zeros(m, np.int64)
-    hi = np.zeros(m, np.int64)
-    skipl = bvh.node_skip[:m]
-    for i in range(m - 1, -1, -1):
-        if leaf[i]:
-            lo[i] = bvh.node_first[i]
-            hi[i] = bvh.node_first[i] + bvh.node_count[i]
-        else:
-            left = i + 1
-            right = skipl[left]
-            lo[i] = lo[left]
-            hi[i] = hi[right] if 0 <= right < m else hi[left]
-    subtree_mask = np.zeros((m, c), bool)
-    permc = bvh.perm.astype(np.int64)
-    for i in range(m):
-        subtree_mask[i, permc[lo[i]:hi[i]]] = True
+    # --- static refit plan (refit_cluster_bvh): each node covers a
+    # contiguous range of the tree-ordered clusters -> sparse-table
+    # range-min indices, shared machinery with the main BVH refit ---
+    from dustraytracer_tpu.accel.bvh import refit_plan
+
+    refit_levels, refit_a, refit_b, plan_n = refit_plan(
+        bvh.node_first, bvh.node_count, bvh.node_skip, m)
+    assert plan_n == c, (plan_n, c)
+    cl_perm = bvh.perm.astype(np.int32)
 
     # One-hot matmul selection computes 0 * x for every non-selected row —
     # padding must be FINITE (0 * inf = NaN would poison every result).
@@ -266,7 +261,10 @@ def build_cluster_bvh(tri_pos: np.ndarray, k: int = CLUSTER_K,
         n_nodes=m,
         n_clusters=c,
         k=k,
-        subtree_mask=jnp.asarray(subtree_mask),
+        cl_perm=jnp.asarray(cl_perm),
+        refit_a=jnp.asarray(refit_a),
+        refit_b=jnp.asarray(refit_b),
+        refit_levels=refit_levels,
         uv=None if uv_t is None else jnp.asarray(pad128(uv_t)),
         face_nrm=None if fn_t is None else jnp.asarray(pad128(fn_t)),
         mat=None if mat_t is None else jnp.asarray(pad128(mat_t)),
@@ -305,7 +303,7 @@ def refit_cluster_bvh(cb: ClusterBvh, tri_pos) -> ClusterBvh:
     """
     import dataclasses
 
-    if cb.subtree_mask is None:
+    if cb.refit_a is None:
         raise ValueError("ClusterBvh was built without a refit plan")
     c, k, m = cb.n_clusters, cb.k, cb.n_nodes
     pad_n = c * k
@@ -325,11 +323,36 @@ def refit_cluster_bvh(cb: ClusterBvh, tri_pos) -> ClusterBvh:
     corners = tp.reshape(c, k * 3, 3)
     cl_min = corners.min(axis=1)
     cl_max = corners.max(axis=1)
-    big = 3.0e38
-    nm = jnp.where(cb.subtree_mask[:, :, None], cl_min[None], big) \
-        .min(axis=1)
-    nx = jnp.where(cb.subtree_mask[:, :, None], cl_max[None], -big) \
-        .max(axis=1)
+
+    # node AABBs as O(1) range queries: permute cluster boxes into tree
+    # order, build log2(C) power-of-two window reductions, and answer
+    # each node from two overlapping windows (min/max are idempotent).
+    # The permute is a tiny gather on CPU and a one-hot matmul on TPU
+    # (C x C, sub-ms), matching the _mat_fetch rationale.
+    def permute(x):
+        if jax.default_backend() == "cpu":
+            return x[cb.cl_perm]
+        oh = (cb.cl_perm[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (c, c), 1)).astype(jnp.float32)
+        return jax.lax.dot_general(
+            oh, x, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    def table(x, reduce_fn):
+        lev = [x]
+        for lvl in range(1, cb.refit_levels):
+            h = 1 << (lvl - 1)
+            prev = lev[-1]
+            shifted = jnp.concatenate(
+                [prev[h:], jnp.repeat(prev[-1:], h, axis=0)], axis=0)
+            lev.append(reduce_fn(prev, shifted))
+        return jnp.concatenate(lev, axis=0)  # (levels*C, 3)
+
+    fmin = table(permute(cl_min), jnp.minimum)
+    fmax = table(permute(cl_max), jnp.maximum)
+    nm = jnp.minimum(fmin[cb.refit_a], fmin[cb.refit_b])
+    nx = jnp.maximum(fmax[cb.refit_a], fmax[cb.refit_b])
     # slice+concat, NOT .at[].set: the scatter path broadcasts the update
     # with the operand's committed (replicated, Auto-mesh) sharding
     # attached, which the Manual mesh context inside shard_map rejects —
@@ -340,14 +363,17 @@ def refit_cluster_bvh(cb: ClusterBvh, tri_pos) -> ClusterBvh:
     extra = {}
     if cb.oct_min is not None:
         # the 8 octant threadings are PERMUTATIONS of the base node set
-        # (topology fixed): refit base boxes once, permute 8 ways via
-        # one-hot matmul (exact row selection on the MXU — gathers of
-        # 8*m rows would serialize on TPU)
+        # (topology fixed): refit base boxes once, permute 8 ways —
+        # one-hot matmul on TPU (exact row selection on the MXU; 8m
+        # serialized gathers would dominate the train step), plain
+        # gather on CPU (where it is the fast path)
         perm = cb.oct_perm0[:, :m].reshape(-1)  # (8m,)
-        oh = (perm[:, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (perm.shape[0], m), 1)).astype(jnp.float32)
 
         def sel(x):  # (m, 3) -> (8, m, 3)
+            if jax.default_backend() == "cpu":
+                return x[perm].reshape(8, m, 3)
+            oh = (perm[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (perm.shape[0], m), 1)).astype(jnp.float32)
             return jax.lax.dot_general(
                 oh, x, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,

@@ -114,10 +114,10 @@ class Scene:
         (tests dodged it by forcing traversal='gather')."""
         if ("tri_pos" in kw and "cluster" not in kw
                 and self.cluster is not None):
-            if self.cluster.subtree_mask is None:
+            if self.cluster.refit_a is None:
                 raise ValueError(
                     "replacing tri_pos on a scene whose cluster tables "
-                    "have no refit plan (subtree_mask=None) would leave "
+                    "have no refit plan (refit_a=None) would leave "
                     "them stale; pass cluster=... explicitly")
             from dustraytracer_tpu.accel.cluster import refit_cluster_bvh
 

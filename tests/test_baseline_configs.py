@@ -63,7 +63,7 @@ def test_config5_katana_vertex_grads_sharded(tmp_path, capsys):
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device CPU mesh (conftest)")
     heavy = os.environ.get("DUST_HEAVY") == "1"
-    size, steps = ("32x32", 16) if heavy else ("24x24", 3)
+    size, steps = ("32x32", 16) if heavy else ("24x24", 2)
     _run_optimize(["--scene", scene, "--self-test",
                    "--optimize", "vertices", "--perturb-vertices", "0.03",
                    "--nee-cosine", "--size", size, "--bounces", "2",

@@ -259,12 +259,12 @@ def test_replace_tri_pos_refits_cluster_fast_path(soup):
 
 
 def test_replace_tri_pos_without_refit_plan_raises(soup):
-    """A cluster without subtree_mask cannot refit — replacing tri_pos
+    """A cluster without a refit plan cannot refit — replacing tri_pos
     must raise instead of going silently stale."""
     import dataclasses
 
     scene, _cb = soup
     bare = scene.replace(
-        cluster=dataclasses.replace(scene.cluster, subtree_mask=None))
+        cluster=dataclasses.replace(scene.cluster, refit_a=None))
     with pytest.raises(ValueError, match="refit plan"):
         bare.replace(tri_pos=scene.tri_pos + 0.1)

@@ -29,9 +29,11 @@ def test_ingest_stats(dust_scene):
     assert s.n_materials == 23
     assert s.n_textures == 23
     assert s.cluster is not None
-    from dustraytracer_tpu.ops.traverse_sweep import MAX_SMEM_NODES
-
-    assert s.cluster.n_nodes <= MAX_SMEM_NODES  # fast path applies
+    # the sweep fast path applies regardless of node count (649 nodes
+    # at the K=32 default -> per-octant PAGED mode); octant orderings
+    # must be baked for the per-tile near-first walk
+    assert s.cluster.oct_min is not None
+    assert s.cluster.k == 32
 
 
 def test_render_smoke(dust_scene):
