@@ -445,7 +445,16 @@ def auto_tile(cb: ClusterBvh) -> int:
     lanes faster than the per-tile node union grows, and (32, 4096)
     f32 Möller–Trumbore blocks still fit VMEM where (64, 4096) spills
     (katana collapsed to 12.96). K=64 tables keep 2048. The K side of
-    the rule lives in scene.build_scene (cluster_k='auto')."""
+    the rule lives in scene.build_scene (cluster_k='auto').
+
+    On CPU the kernel only ever runs in interpret mode (tests); per-ray
+    results are tile-invariant, and small tiles keep tiny test waves
+    from padding to 4096 dead lanes — 512 matches the explicit tile the
+    interpret-mode tests always used."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return 512
     return 4096 if cb.k <= 32 else TILE
 
 

@@ -43,25 +43,27 @@ MATMUL_BWD_MAX_TEXELS = 16 * 1024 * 1024
 _FETCH_CACHE = {}
 
 
-def _float_fetch(mode: str):
+def _float_fetch(mode: str, shape=None, dtype=None):
     """Cached custom-vjp float-texel fetch. mode: 'auto' (matmul
-    transpose on TPU, scatter on CPU), 'matmul', 'scatter'."""
-    if mode in _FETCH_CACHE:
-        return _FETCH_CACHE[mode]
+    transpose on TPU, scatter on CPU), 'matmul', 'scatter'. The stack
+    shape/dtype are STATIC cache keys — the backward needs them, and a
+    ShapeDtypeStruct residual is not a value jit-of-grad accepts."""
+    key = (mode, tuple(shape) if shape else None, dtype)
+    if key in _FETCH_CACHE:
+        return _FETCH_CACHE[key]
 
     @jax.custom_vjp
     def fetch(stack, t, y, x):
         return stack[t, y, x, :3]
 
     def fwd(stack, t, y, x):
-        shape = jax.ShapeDtypeStruct(stack.shape, stack.dtype)
-        return fetch(stack, t, y, x), (shape, t, y, x)
+        return fetch(stack, t, y, x), (t, y, x)
 
     def bwd(res, g):
         import numpy as np
 
-        shape, t, y, x = res
-        T, H, W, C = shape.shape
+        t, y, x = res
+        T, H, W, C = shape
         n_texels = T * H * W
         use_matmul = mode == "matmul" or (
             mode == "auto" and jax.default_backend() != "cpu"
@@ -91,17 +93,17 @@ def _float_fetch(mode: str):
             d_rgb = jnp.stack(chans, axis=-1).reshape(T, H, W, 3)
             d_stack = jnp.concatenate(
                 [d_rgb, jnp.zeros((T, H, W, C - 3), jnp.float32)],
-                axis=-1).astype(shape.dtype)
+                axis=-1).astype(dtype)
         else:
-            d_stack = jnp.zeros(shape.shape, shape.dtype) \
-                .at[t, y, x, :3].add(g.astype(shape.dtype))
+            d_stack = jnp.zeros(shape, dtype) \
+                .at[t, y, x, :3].add(g.astype(dtype))
         f0 = np.zeros(t.shape, jax.dtypes.float0)
         return (d_stack, f0,
                 np.zeros(y.shape, jax.dtypes.float0),
                 np.zeros(x.shape, jax.dtypes.float0))
 
     fetch.defvjp(fwd, bwd)
-    _FETCH_CACHE[mode] = fetch
+    _FETCH_CACHE[key] = fetch
     return fetch
 
 
@@ -147,7 +149,9 @@ def sample_texture(scene, tex_idx, uv, bilinear: bool = False):
         # path for inverse rendering) — no decode. The fetch's custom
         # VJP accumulates texel cotangents with one-hot matmuls on TPU
         # instead of the serialized scatter (see _float_fetch above).
-        return _float_fetch("auto")(scene.tex_stack, safe, yi, xi)
+        return _float_fetch("auto", scene.tex_stack.shape,
+                            scene.tex_stack.dtype)(
+            scene.tex_stack, safe, yi, xi)
 
     if not bilinear:
         return fetch(fu.astype(jnp.int32), fv.astype(jnp.int32))

@@ -34,8 +34,8 @@ def test_config4_room_pbr_materials(tmp_path, capsys):
         pytest.skip("room.glb not bundled")
     _run_optimize(["--scene", scene, "--self-test",
                    "--optimize", "albedo", "roughness", "metallic",
-                   "--size", "48x48", "--bounces", "2", "--steps", "60",
-                   "--lr", "3e-2", "--out", str(tmp_path)])
+                   "--size", "48x48", "--bounces", "2", "--steps", "45",
+                   "--lr", "4e-2", "--out", str(tmp_path)])
     out = json.loads(capsys.readouterr().out)
     assert out["history"][0]["loss"] > 50 * out["final_loss"]
     assert out["param_mae"]["mat_albedo"] < 0.05
@@ -63,12 +63,18 @@ def test_config5_katana_vertex_grads_sharded(tmp_path, capsys):
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device CPU mesh (conftest)")
     heavy = os.environ.get("DUST_HEAVY") == "1"
-    size, steps = ("32x32", 16) if heavy else ("24x24", 2)
+    # default-suite budget: ONE bounce, two steps — the gate is only
+    # that sharded vertex descent on the real 90k-tri scene decreases
+    # the loss; the CPU compile of the 8-device grad graph dominates
+    # this test (148 s at b=2), and halving the scan body is the one
+    # lever that actually shrinks it
+    size, steps, bounces = (("32x32", 16, 2) if heavy
+                            else ("24x24", 2, 1))
     _run_optimize(["--scene", scene, "--self-test",
                    "--optimize", "vertices", "--perturb-vertices", "0.03",
-                   "--nee-cosine", "--size", size, "--bounces", "2",
-                   "--steps", str(steps), "--lr", "3e-3", "--devices", "8",
-                   "--out", str(tmp_path)])
+                   "--nee-cosine", "--size", size, "--bounces",
+                   str(bounces), "--steps", str(steps), "--lr", "3e-3",
+                   "--devices", "8", "--out", str(tmp_path)])
     out = json.loads(capsys.readouterr().out)
     first, last = out["history"][0]["loss"], out["final_loss"]
     assert np.isfinite(last)

@@ -223,10 +223,10 @@ def test_vertex_descent_on_cluster_fast_path():
         return jnp.mean((render_at(dx, frame) - target) ** 2)
 
     grad_fn = jax.jit(jax.grad(loss))
-    tx = optax.adam(0.02)
+    tx = optax.adam(0.03)
     dx = jnp.float32(0.0)
     opt = tx.init(dx)
-    for step in range(250):
+    for step in range(160):
         g = (grad_fn(dx, jnp.uint32((2 * step) % 16))
              + grad_fn(dx, jnp.uint32((2 * step + 1) % 16))) / 2
         upd, opt = tx.update(g, opt, dx)

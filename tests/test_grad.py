@@ -188,10 +188,10 @@ def test_soft_edge_silhouette_gradient():
     # nowhere.
     import optax
 
-    tx = optax.adam(0.02)
+    tx = optax.adam(0.03)
     dx = jnp.float32(0.0)
     opt = tx.init(dx)
-    for step in range(300):
+    for step in range(200):
         g = grad_fn(dx, jnp.uint32(step % 8))
         upd, opt = tx.update(g, opt, dx)
         dx = optax.apply_updates(dx, upd)

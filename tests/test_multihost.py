@@ -100,7 +100,7 @@ def test_initialize_fails_loudly_on_bad_coordinator():
         "from dustraytracer_tpu.parallel.multihost import initialize\n"
         "try:\n"
         "    initialize('127.0.0.1:1', num_processes=2, process_id=1,\n"
-        "               initialization_timeout=10)\n"
+        "               initialization_timeout=5)\n"
         "except Exception:\n"
         "    raise SystemExit(42)\n"
         "raise SystemExit(0)\n"  # silent fallback would exit 0 -> caught

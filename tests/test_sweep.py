@@ -258,14 +258,14 @@ def test_kernel_shade_fetch_vertex_grads_match_onehot():
     scene = build_scene(make_random_tri_doc(400, seed=12), use_native=False)
     cam = make_camera(position=(0, 2, 12), look_at=(0, 0, 0), vfov_deg=50)
     lights = LightParams.from_settings(RenderSettings())
-    ids = jnp.arange(24 * 24, dtype=jnp.int32)
+    ids = jnp.arange(16 * 16, dtype=jnp.int32)
 
     def loss(tri_pos, fetch):
         s = RenderSettings(bounces=2, enable_tonemap=False,
                            enable_gamma=False, traversal="sweep",
                            shade_fetch=fetch)
         img = render_pixels(scene.replace(tri_pos=tri_pos), cam, lights,
-                            jnp.uint32(0), ids, width=24, height=24,
+                            jnp.uint32(0), ids, width=16, height=16,
                             settings=s)
         return jnp.mean(img)
 
@@ -300,7 +300,7 @@ def test_kernel_shade_fetch_camera_grads_match_onehot():
     scene = build_scene(doc, use_native=False)
     cam = make_camera(position=(0, 2, 12), look_at=(0, 0, 0), vfov_deg=50)
     lights = LightParams.from_settings(RenderSettings())
-    ids = jnp.arange(20 * 20, dtype=jnp.int32)
+    ids = jnp.arange(16 * 16, dtype=jnp.int32)
 
     def loss(position, fetch):
         s = RenderSettings(bounces=1, enable_tonemap=False,
@@ -308,7 +308,7 @@ def test_kernel_shade_fetch_camera_grads_match_onehot():
                            shade_fetch=fetch, tex_filter="bilinear")
         img = render_pixels(scene, cam.replace(position=position), lights,
                             jnp.uint32(0), ids,
-                            width=20, height=20, settings=s)
+                            width=16, height=16, settings=s)
         return jnp.mean(img)
 
     gk = np.asarray(jax.grad(lambda p: loss(p, "kernel"))(cam.position))

@@ -26,7 +26,8 @@ def _stack_and_ids(seed=0, T=3, H=24, W=16, U=500):
 
 def _grad(mode, stack, t, y, x, cot):
     def loss(s):
-        return jnp.sum(_float_fetch(mode)(s, t, y, x) * cot)
+        return jnp.sum(_float_fetch(mode, stack.shape, stack.dtype)(
+            s, t, y, x) * cot)
 
     return np.asarray(jax.grad(loss)(stack))
 
@@ -58,7 +59,7 @@ def test_matmul_bwd_duplicate_texels_accumulate():
 
 def test_forward_value_unchanged_by_custom_vjp():
     stack, t, y, x, _ = _stack_and_ids(seed=2)
-    out = _float_fetch("auto")(stack, t, y, x)
+    out = _float_fetch("auto", stack.shape, stack.dtype)(stack, t, y, x)
     ref = stack[t, y, x, :3]
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
@@ -91,8 +92,8 @@ def test_render_texture_grads_match_across_bwd_modes():
     def grad_with(mode):
         orig = tex_mod._float_fetch
 
-        def patched(_m):
-            return orig(mode)
+        def patched(_m, shape=None, dtype=None):
+            return orig(mode, shape, dtype)
 
         tex_mod._float_fetch = patched
         try:

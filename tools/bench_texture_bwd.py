@@ -55,8 +55,8 @@ def main():
 
     def loss(mode, stack, eps):
         # eps-perturbation defeats XLA CSE across in-graph repeats
-        r = _float_fetch(mode)(stack * (1.0 + eps * 1e-9), t_ids, y_ids,
-                               x_ids)
+        r = _float_fetch(mode, stack.shape, stack.dtype)(
+            stack * (1.0 + eps * 1e-9), t_ids, y_ids, x_ids)
         return jnp.sum(r * cot)
 
     fwd = device_seconds_per_call(
