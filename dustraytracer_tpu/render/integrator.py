@@ -103,6 +103,15 @@ def _resolve_fetch(scene, settings) -> str:
     #     (katana 90.7k: kernel-fetch loses 2x on paged leaves).
     # The kernel pick is gradient-safe since round 4 (_kernel_shade
     # custom VJP), so auto may take it for differentiated renders too.
+    # Re-verified round 5 after the K=32/TILE=4096/octant traversal
+    # speedups (tools/retune_fetch.py, results/retune_fetch.json): at
+    # the BENCH settings (b=2) the picks still hold — cs16 onehot 65.5
+    # vs gather 69.5 vs kernel 72.9 ms/sample, dense_monkey kernel
+    # 152.9 vs onehot 176.7 vs gather 197.0. The b=1 profile reading
+    # where gather beat onehot on cs16 (21.97 vs 25.86 ms,
+    # profile_cs16_dust_512_b2.json) does NOT generalize: bounce waves
+    # re-use the one-hot row products while per-lane gathers pay full
+    # price per wave.
     if (12288 <= n <= 16384
             and scene.cluster is not None and scene.cluster.uv is not None
             and not (settings.smooth_shading or settings.soft_edges > 0.0
