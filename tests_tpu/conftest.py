@@ -15,6 +15,18 @@ import pytest
 
 
 def pytest_collection_modifyitems(config, items):
+    # Serialize on ONE xdist worker: pyproject's `-n auto --dist
+    # loadgroup` speeds up the CPU suite, but THIS directory drives the
+    # one attached TPU chip — concurrent workers would contend for it
+    # through the axon tunnel. A shared xdist_group pins every item
+    # here to a single worker under --dist loadgroup.
+    tpu_serial = pytest.mark.xdist_group("tpu-serial")
+    for item in items:
+        item.add_marker(tpu_serial)
+    _skip_on_cpu(items)
+
+
+def _skip_on_cpu(items):
     import jax
 
     if jax.default_backend() == "cpu":
